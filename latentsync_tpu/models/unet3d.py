@@ -1,0 +1,589 @@
+"""Audio-conditioned 3D UNet (AnimateDiff lineage) in flax.linen.
+
+Re-derivation of UNet3DConditionModel (ref:latentsync/models/unet.py:39-471)
+and its blocks (ref:latentsync/models/unet_blocks.py, attention.py,
+resnet.py, motion_module.py) as a TPU-first design:
+
+- canonical layout (B, F, H, W, C) channels-last; "inflated" 2D ops fold
+  frames into batch with reshapes that XLA elides
+- plain (non-inflated) GroupNorms in resnets normalize across frames
+  jointly, exactly like torch GroupNorm on 5D input (the stage2 config
+  leaves use_inflated_groupnorm=False), while transformer GroupNorms are
+  per-frame (ref:attention.py:86-91)
+- spatial self-attn + audio cross-attn run per-frame with (H·W)-token
+  sequences; the temporal module attends across the 16-frame axis with an
+  interleaved sin/cos positional table (ref:motion_module.py:221-234)
+- zero-initialized conv_in / conv_out (ref:unet.py:92,241) and
+  zero-initialized temporal proj_out (ref:motion_module.py:65-66)
+- the whole model is one jittable pure function; 20-step CFG denoising
+  wraps it in a lax.fori_loop (see pipelines/lipsync.py)
+
+in_channels=13 = 4 noise + 1 mask + 4 masked-image + 4 reference latents
+(ref:configs/unet/stage2.yaml:77).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import MotionModuleConfig, UNet3DConfig
+from ..ops.attention import dot_product_attention
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+
+def timestep_embedding(
+    timesteps: jnp.ndarray,
+    dim: int,
+    flip_sin_to_cos: bool = True,
+    freq_shift: float = 0.0,
+    max_period: float = 10000.0,
+) -> jnp.ndarray:
+    """diffusers get_timestep_embedding semantics (ref:unet.py:95 uses
+    Timesteps(320, flip_sin_to_cos=True, freq_shift=0))."""
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - freq_shift)
+    freqs = jnp.exp(exponent)
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
+    sin, cos = jnp.sin(args), jnp.cos(args)
+    emb = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class InflatedConv(nn.Module):
+    """2D conv applied per-frame on (B, F, H, W, C)
+    (ref:resnet.py:10-18)."""
+
+    features: int
+    kernel: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: int = 1
+    dtype: jnp.dtype = jnp.float32
+    zero_init: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        b, f = x.shape[:2]
+        x2 = x.reshape((b * f,) + x.shape[2:])
+        init = nn.initializers.zeros if self.zero_init else nn.initializers.lecun_normal()
+        y = nn.Conv(
+            self.features, self.kernel, strides=self.strides,
+            padding=self.padding, dtype=self.dtype, kernel_init=init,
+            name="conv",
+        )(x2)
+        return y.reshape((b, f) + y.shape[1:])
+
+
+def group_norm_5d(x, groups, eps, name, dtype=jnp.float32):
+    """torch GroupNorm on (B,C,F,H,W): stats over (C/G, F, H, W)."""
+    return nn.GroupNorm(groups, epsilon=eps, dtype=dtype, name=name)(x)
+
+
+class ResnetBlock3D(nn.Module):
+    """(ref:resnet.py:104-223). Plain GroupNorm (cross-frame stats)."""
+
+    out_channels: int
+    temb_channels: int
+    groups: int = 32
+    eps: float = 1e-5
+    time_embedding_norm: str = "default"
+    output_scale_factor: float = 1.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb):
+        in_ch = x.shape[-1]
+        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=jnp.float32, name="norm1")(x)
+        h = nn.silu(h).astype(self.dtype)
+        h = InflatedConv(self.out_channels, dtype=self.dtype, name="conv1")(h)
+
+        if temb is not None:
+            t = nn.silu(temb.astype(jnp.float32)).astype(self.dtype)
+            out_mult = 2 if self.time_embedding_norm == "scale_shift" else 1
+            t = nn.Dense(self.out_channels * out_mult, dtype=self.dtype,
+                         name="time_emb_proj")(t)
+            t = t[:, None, None, None, :]  # broadcast over F, H, W
+
+        if temb is not None and self.time_embedding_norm == "default":
+            h = h + t
+
+        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=jnp.float32, name="norm2")(h)
+
+        if temb is not None and self.time_embedding_norm == "scale_shift":
+            scale, shift = jnp.split(t, 2, axis=-1)
+            h = h * (1 + scale) + shift
+
+        h = nn.silu(h).astype(self.dtype)
+        h = InflatedConv(self.out_channels, dtype=self.dtype, name="conv2")(h)
+
+        if in_ch != self.out_channels:
+            x = InflatedConv(
+                self.out_channels, kernel=(1, 1), padding=0,
+                dtype=self.dtype, name="conv_shortcut",
+            )(x)
+        return (x + h) / self.output_scale_factor
+
+
+class CrossAttention(nn.Module):
+    """diffusers-style attention (ref:attention.py:202-280): unbiased
+    q/k/v projections, biased output projection, f32 softmax."""
+
+    query_dim: int
+    heads: int
+    dim_head: int
+    cross_attention_dim: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        inner = self.heads * self.dim_head
+        context = x if context is None else context
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+        b, sq, _ = q.shape
+        sk = k.shape[1]
+        q = q.reshape(b, sq, self.heads, self.dim_head)
+        k = k.reshape(b, sk, self.heads, self.dim_head)
+        v = v.reshape(b, sk, self.heads, self.dim_head)
+        o = dot_product_attention(q, k, v).reshape(b, sq, inner)
+        return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out_0")(o)
+
+
+class GEGLUFeedForward(nn.Module):
+    """diffusers FeedForward(activation_fn="geglu"), mult=4."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        inner = self.dim * 4
+        h = nn.Dense(inner * 2, dtype=self.dtype, name="net_0_proj")(x)
+        value, gate = jnp.split(h, 2, axis=-1)
+        h = value * nn.gelu(gate, approximate=False)
+        return nn.Dense(self.dim, dtype=self.dtype, name="net_2")(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    """Self-attn + optional audio cross-attn + GEGLU FF
+    (ref:attention.py:127-199)."""
+
+    dim: int
+    heads: int
+    dim_head: int
+    cross_attention_dim: int
+    add_audio_layer: bool
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, audio_context=None):
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
+        x = x + CrossAttention(self.dim, self.heads, self.dim_head,
+                               dtype=self.dtype, name="attn1")(h)
+        if self.add_audio_layer and audio_context is not None:
+            h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
+            x = x + CrossAttention(
+                self.dim, self.heads, self.dim_head,
+                cross_attention_dim=self.cross_attention_dim,
+                dtype=self.dtype, name="attn2",
+            )(h, audio_context)
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm3")(x).astype(self.dtype)
+        return x + GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff")(h)
+
+
+class SpatialTransformer(nn.Module):
+    """Transformer3DModel (ref:attention.py:23-124): per-frame GroupNorm,
+    1×1 conv proj in/out, residual."""
+
+    in_channels: int
+    heads: int
+    dim_head: int
+    cross_attention_dim: int
+    add_audio_layer: bool
+    num_layers: int = 1
+    norm_groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, audio_context=None):
+        b, f, hh, ww, c = x.shape
+        inner = self.heads * self.dim_head
+        x2 = x.reshape(b * f, hh, ww, c)
+        residual = x2
+        h = nn.GroupNorm(self.norm_groups, epsilon=1e-6, dtype=jnp.float32, name="norm")(x2)
+        h = nn.Conv(inner, (1, 1), dtype=self.dtype, name="proj_in")(h.astype(self.dtype))
+        h = h.reshape(b * f, hh * ww, inner)
+
+        if audio_context is not None and audio_context.ndim == 4:
+            # (B, F, S, D) → (B·F, S, D) (ref:attention.py:184-185)
+            audio_context = audio_context.reshape(
+                b * f, audio_context.shape[2], audio_context.shape[3]
+            )
+
+        for i in range(self.num_layers):
+            h = BasicTransformerBlock(
+                inner, self.heads, self.dim_head, self.cross_attention_dim,
+                self.add_audio_layer, dtype=self.dtype,
+                name=f"transformer_blocks_{i}",
+            )(h, audio_context)
+
+        h = h.reshape(b * f, hh, ww, inner)
+        h = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(h)
+        out = h + residual
+        return out.reshape(b, f, hh, ww, c)
+
+
+def interleaved_positional_encoding(max_len: int, d_model: int) -> np.ndarray:
+    """pe[:, 0::2]=sin, 1::2=cos (ref:motion_module.py:221-230)."""
+    position = np.arange(max_len)[:, None]
+    div = np.exp(np.arange(0, d_model, 2) * (-math.log(10000.0) / d_model))
+    pe = np.zeros((max_len, d_model), np.float32)
+    pe[:, 0::2] = np.sin(position * div)
+    pe[:, 1::2] = np.cos(position * div)
+    return pe
+
+
+class TemporalAttention(nn.Module):
+    """VersatileAttention Temporal_Self (ref:motion_module.py:237-313):
+    attention across the frame axis per spatial location."""
+
+    dim: int
+    heads: int
+    dim_head: int
+    max_len: int = 24
+    use_pos_encoding: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, video_length: int):
+        bf, s, c = x.shape
+        b = bf // video_length
+        # (b f) s c → (b s) f c
+        h = x.reshape(b, video_length, s, c).transpose(0, 2, 1, 3)
+        h = h.reshape(b * s, video_length, c)
+        if self.use_pos_encoding:
+            pe = interleaved_positional_encoding(self.max_len, c)
+            h = h + jnp.asarray(pe[:video_length], h.dtype)
+        o = CrossAttention(self.dim, self.heads, self.dim_head,
+                           dtype=self.dtype, name="attn")(h)
+        o = o.reshape(b, s, video_length, c).transpose(0, 2, 1, 3)
+        return o.reshape(bf, s, c)
+
+
+class TemporalModule(nn.Module):
+    """VanillaTemporalModule → TemporalTransformer3DModel
+    (ref:motion_module.py:39-151). proj_out zero-init so the module is an
+    identity at init (ref:motion_module.py:65-66)."""
+
+    in_channels: int
+    mm: MotionModuleConfig
+    norm_groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, f, hh, ww, c = x.shape
+        heads = self.mm.num_attention_heads
+        dim_head = c // heads // self.mm.temporal_attention_dim_div
+        inner = heads * dim_head
+
+        x2 = x.reshape(b * f, hh, ww, c)
+        residual = x2
+        h = nn.GroupNorm(self.norm_groups, epsilon=1e-6, dtype=jnp.float32, name="norm")(x2)
+        h = h.reshape(b * f, hh * ww, c).astype(self.dtype)
+        h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(h)
+
+        for i in range(self.mm.num_transformer_block):
+            blk = f"transformer_blocks_{i}"
+            for j, _ in enumerate(self.mm.attention_block_types):
+                hn = nn.LayerNorm(dtype=jnp.float32, name=f"{blk}_norms_{j}")(h)
+                h = h + TemporalAttention(
+                    inner, heads, dim_head,
+                    max_len=self.mm.temporal_position_encoding_max_len,
+                    use_pos_encoding=self.mm.temporal_position_encoding,
+                    dtype=self.dtype, name=f"{blk}_attention_blocks_{j}",
+                )(hn.astype(self.dtype), f)
+            hn = nn.LayerNorm(dtype=jnp.float32, name=f"{blk}_ff_norm")(h)
+            h = h + GEGLUFeedForward(inner, dtype=self.dtype, name=f"{blk}_ff")(
+                hn.astype(self.dtype)
+            )
+
+        h = nn.Dense(
+            c, dtype=self.dtype, name="proj_out",
+            kernel_init=(nn.initializers.zeros if self.mm.zero_initialize
+                         else nn.initializers.lecun_normal()),
+        )(h)
+        h = h.reshape(b * f, hh, ww, c)
+        return (h + residual).reshape(b, f, hh, ww, c)
+
+
+class Downsample3D(nn.Module):
+    out_channels: int
+    padding: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return InflatedConv(
+            self.out_channels, strides=(2, 2), padding=self.padding,
+            dtype=self.dtype, name="conv",
+        )(x)
+
+
+class Upsample3D(nn.Module):
+    """Nearest 2× spatial upsample + conv (ref:resnet.py:32-75)."""
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, f, h, w, c = x.shape
+        x = x.reshape(b * f, h, w, c)
+        x = jax.image.resize(x, (b * f, h * 2, w * 2, c), method="nearest")
+        x = x.reshape(b, f, h * 2, w * 2, c)
+        return InflatedConv(self.out_channels, dtype=self.dtype, name="conv")(x)
+
+
+# ---------------------------------------------------------------------------
+# blocks
+# ---------------------------------------------------------------------------
+
+
+class DownBlock3D(nn.Module):
+    """CrossAttnDownBlock3D / DownBlock3D (ref:unet_blocks.py:263-516)."""
+
+    cfg: UNet3DConfig
+    out_channels: int
+    num_layers: int
+    has_attention: bool
+    use_motion_module: bool
+    add_downsample: bool
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb, audio_context=None):
+        cfg = self.cfg
+        outputs = []
+        for i in range(self.num_layers):
+            x = ResnetBlock3D(
+                self.out_channels, cfg.time_embed_dim, cfg.norm_num_groups,
+                cfg.norm_eps, cfg.resnet_time_scale_shift,
+                dtype=self.dtype, name=f"resnets_{i}",
+            )(x, temb)
+            if self.has_attention:
+                x = SpatialTransformer(
+                    self.out_channels, cfg.attention_head_dim,
+                    self.out_channels // cfg.attention_head_dim,
+                    cfg.cross_attention_dim, cfg.add_audio_layer,
+                    norm_groups=cfg.norm_num_groups, dtype=self.dtype,
+                    name=f"attentions_{i}",
+                )(x, audio_context)
+            if self.use_motion_module:
+                x = TemporalModule(
+                    self.out_channels, cfg.motion_module, cfg.norm_num_groups,
+                    dtype=self.dtype, name=f"motion_modules_{i}",
+                )(x)
+            outputs.append(x)
+        if self.add_downsample:
+            x = Downsample3D(
+                self.out_channels, cfg.downsample_padding,
+                dtype=self.dtype, name="downsamplers_0",
+            )(x)
+            outputs.append(x)
+        return x, outputs
+
+
+class MidBlock3D(nn.Module):
+    """UNetMidBlock3DCrossAttn (ref:unet_blocks.py:153-260)."""
+
+    cfg: UNet3DConfig
+    use_motion_module: bool
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb, audio_context=None):
+        cfg = self.cfg
+        ch = cfg.block_out_channels[-1]
+        x = ResnetBlock3D(
+            ch, cfg.time_embed_dim, cfg.norm_num_groups, cfg.norm_eps,
+            cfg.resnet_time_scale_shift,
+            output_scale_factor=cfg.mid_block_scale_factor,
+            dtype=self.dtype, name="resnets_0",
+        )(x, temb)
+        x = SpatialTransformer(
+            ch, cfg.attention_head_dim, ch // cfg.attention_head_dim,
+            cfg.cross_attention_dim, cfg.add_audio_layer,
+            norm_groups=cfg.norm_num_groups, dtype=self.dtype,
+            name="attentions_0",
+        )(x, audio_context)
+        if self.use_motion_module:
+            x = TemporalModule(
+                ch, cfg.motion_module, cfg.norm_num_groups,
+                dtype=self.dtype, name="motion_modules_0",
+            )(x)
+        x = ResnetBlock3D(
+            ch, cfg.time_embed_dim, cfg.norm_num_groups, cfg.norm_eps,
+            cfg.resnet_time_scale_shift,
+            output_scale_factor=cfg.mid_block_scale_factor,
+            dtype=self.dtype, name="resnets_1",
+        )(x, temb)
+        return x
+
+
+class UpBlock3D(nn.Module):
+    """CrossAttnUpBlock3D / UpBlock3D (ref:unet_blocks.py:519-777)."""
+
+    cfg: UNet3DConfig
+    out_channels: int
+    num_layers: int
+    has_attention: bool
+    use_motion_module: bool
+    add_upsample: bool
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skips, temb, audio_context=None):
+        cfg = self.cfg
+        for i in range(self.num_layers):
+            skip = skips.pop()
+            x = jnp.concatenate([x, skip], axis=-1)
+            x = ResnetBlock3D(
+                self.out_channels, cfg.time_embed_dim, cfg.norm_num_groups,
+                cfg.norm_eps, cfg.resnet_time_scale_shift,
+                dtype=self.dtype, name=f"resnets_{i}",
+            )(x, temb)
+            if self.has_attention:
+                x = SpatialTransformer(
+                    self.out_channels, cfg.attention_head_dim,
+                    self.out_channels // cfg.attention_head_dim,
+                    cfg.cross_attention_dim, cfg.add_audio_layer,
+                    norm_groups=cfg.norm_num_groups, dtype=self.dtype,
+                    name=f"attentions_{i}",
+                )(x, audio_context)
+            if self.use_motion_module:
+                x = TemporalModule(
+                    self.out_channels, cfg.motion_module, cfg.norm_num_groups,
+                    dtype=self.dtype, name=f"motion_modules_{i}",
+                )(x)
+        if self.add_upsample:
+            x = Upsample3D(self.out_channels, dtype=self.dtype, name="upsamplers_0")(x)
+        return x
+
+
+# ---------------------------------------------------------------------------
+# full model
+# ---------------------------------------------------------------------------
+
+
+class UNet3DConditionModel(nn.Module):
+    """Forward: sample (B, F, H, W, Cin), timestep (B,) or scalar,
+    audio embeds (B, F, S, D) or None → eps (B, F, H, W, Cout)."""
+
+    config: UNet3DConfig = UNet3DConfig()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, sample, timesteps, encoder_hidden_states=None):
+        cfg = self.config
+        if jnp.ndim(timesteps) == 0:
+            timesteps = jnp.full((sample.shape[0],), timesteps)
+
+        # time embedding (ref:unet.py:95-98,376-382)
+        t_emb = timestep_embedding(
+            timesteps, cfg.block_out_channels[0], cfg.flip_sin_to_cos, cfg.freq_shift
+        ).astype(self.dtype)
+        emb = nn.Dense(cfg.time_embed_dim, dtype=self.dtype, name="time_embedding_linear_1")(t_emb)
+        emb = nn.silu(emb)
+        emb = nn.Dense(cfg.time_embed_dim, dtype=self.dtype, name="time_embedding_linear_2")(emb)
+
+        if cfg.center_input_sample:
+            sample = 2 * sample - 1.0
+
+        sample = sample.astype(self.dtype)
+        x = InflatedConv(
+            cfg.block_out_channels[0], dtype=self.dtype, zero_init=True, name="conv_in"
+        )(sample)
+
+        # down
+        skips = [x]
+        for i, block_type in enumerate(cfg.down_block_types):
+            res = 2 ** i
+            is_final = i == len(cfg.block_out_channels) - 1
+            use_mm = (
+                cfg.use_motion_module
+                and res in cfg.motion_module_resolutions
+                and not cfg.motion_module_decoder_only
+            )
+            x, outs = DownBlock3D(
+                cfg,
+                cfg.block_out_channels[i],
+                cfg.layers_per_block,
+                has_attention=block_type.startswith("CrossAttn"),
+                use_motion_module=use_mm,
+                add_downsample=not is_final,
+                dtype=self.dtype,
+                name=f"down_blocks_{i}",
+            )(x, emb, encoder_hidden_states)
+            skips.extend(outs)
+
+        # mid
+        x = MidBlock3D(
+            cfg,
+            use_motion_module=cfg.use_motion_module and cfg.motion_module_mid_block,
+            dtype=self.dtype,
+            name="mid_block",
+        )(x, emb, encoder_hidden_states)
+
+        # up
+        rev_channels = list(reversed(cfg.block_out_channels))
+        for i, block_type in enumerate(cfg.up_block_types):
+            res = 2 ** (3 - i)
+            is_final = i == len(cfg.block_out_channels) - 1
+            use_mm = cfg.use_motion_module and res in cfg.motion_module_resolutions
+            n_layers = cfg.layers_per_block + 1
+            block_skips = skips[-n_layers:]
+            skips = skips[:-n_layers]
+            x = UpBlock3D(
+                cfg,
+                rev_channels[i],
+                n_layers,
+                has_attention=block_type.startswith("CrossAttn"),
+                use_motion_module=use_mm,
+                add_upsample=not is_final,
+                dtype=self.dtype,
+                name=f"up_blocks_{i}",
+            )(x, block_skips, emb, encoder_hidden_states)
+
+        # out (ref:unet.py:231-241,463-466)
+        x = nn.GroupNorm(cfg.norm_num_groups, epsilon=cfg.norm_eps,
+                         dtype=jnp.float32, name="conv_norm_out")(x)
+        x = nn.silu(x).astype(self.dtype)
+        x = InflatedConv(
+            cfg.out_channels, dtype=self.dtype, zero_init=True, name="conv_out"
+        )(x)
+        return x
+
+
+def init_unet_params(config: UNet3DConfig, rng, dtype=jnp.float32, num_frames=16, size=32):
+    model = UNet3DConditionModel(config, dtype=dtype)
+    sample = jnp.zeros((1, num_frames, size, size, config.in_channels), dtype)
+    audio = (
+        jnp.zeros((1, num_frames, 50, config.cross_attention_dim), dtype)
+        if config.add_audio_layer
+        else None
+    )
+    params = model.init(rng, sample, jnp.zeros((1,), jnp.int32), audio)
+    return model, params

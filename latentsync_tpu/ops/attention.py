@@ -1,0 +1,129 @@
+"""Multi-head scaled-dot-product attention for TPU.
+
+The reference calls torch F.scaled_dot_product_attention (FlashAttention-2)
+inside every spatial/audio/temporal attention layer
+(ref:latentsync/models/attention.py:271, motion_module.py:300) and a
+hand-rolled softmax attention in the whisper encoder
+(ref:latentsync/whisper/whisper/model.py:88-100).
+
+On TPU the sequence lengths in this workload are small (≤1500 audio,
+≤1024 spatial, 16 temporal) while batch is large, so a single fused XLA
+einsum-softmax-einsum already keeps the MXU busy; `dot_product_attention`
+below is that path with f32 softmax accumulation. A Pallas flash kernel
+(`flash_attention`) is provided for the long-sequence spatial case where
+materializing (B,H,S,S) scores becomes HBM-bound.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pallas TPU backend is unavailable under the pure-CPU test mesh
+    from jax.experimental.pallas import tpu as pltpu
+except Exception:  # pragma: no cover
+    pltpu = None
+
+
+def dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float | None = None,
+    mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Attention over (..., S, H, D) tensors with heads as a batch dim.
+
+    q: (..., Sq, H, D); k, v: (..., Sk, H, D). Returns (..., Sq, H, D).
+    Softmax is computed in float32 regardless of input dtype (matching the
+    reference's float softmax, ref:whisper/model.py:99).
+    """
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    dtype = q.dtype
+    logits = jnp.einsum("...qhd,...khd->...hqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if mask is not None:
+        logits = logits + mask
+    weights = jax.nn.softmax(logits, axis=-1).astype(dtype)
+    return jnp.einsum("...hqk,...khd->...qhd", weights, v)
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash attention (non-causal, no mask) for large spatial self-attn
+# ---------------------------------------------------------------------------
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, kv_len, block_k):
+    q = q_ref[0].astype(jnp.float32) * scale  # (block_q, d)
+    block_q, d = q.shape
+    num_kv = kv_len // block_k
+
+    def body(i, carry):
+        acc, m_prev, l_prev = carry
+        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (bq, bk)
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
+        return acc, m_new, l_new
+
+    acc0 = jnp.zeros((block_q, d), jnp.float32)
+    m0 = jnp.full((block_q, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc, _, l = jax.lax.fori_loop(0, num_kv, body, (acc0, m0, l0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float | None = None,
+    block_q: int = 256,
+    block_k: int = 256,
+) -> jnp.ndarray:
+    """Streaming-softmax attention Pallas kernel.
+
+    q, k, v: (B, S, D) where B already folds batch*heads. Non-causal,
+    unmasked — exactly the shape of the UNet's spatial/temporal/audio
+    attention. Falls back to the XLA path when shapes don't tile.
+    """
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    b, sq, d = q.shape
+    kv_len = k.shape[1]
+    if (
+        pltpu is None
+        or sq % block_q != 0
+        or kv_len % block_k != 0
+        or d % 128 != 0
+    ):
+        # XLA fallback (also used on CPU test backend)
+        logits = jnp.einsum("bqd,bkd->bqk", q, k, preferred_element_type=jnp.float32)
+        w = jax.nn.softmax(logits * scale, axis=-1).astype(q.dtype)
+        return jnp.einsum("bqk,bkd->bqd", w, v)
+
+    grid = (b, sq // block_q)
+    return pl.pallas_call(
+        functools.partial(
+            _flash_kernel, scale=scale, kv_len=kv_len, block_k=block_k
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, kv_len, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, kv_len, d), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+    )(q, k, v)
