@@ -1,0 +1,117 @@
+"""Headline benchmark: frames/sec/chip for 256px lip-sync at 20 DDIM steps.
+
+Measures the full device-side generation path on one chip — VAE encode of
+masked+reference frames, the 20-step CFG-batched UNet denoise of W
+16-frame windows, and VAE decode — with random weights (FLOPs are
+weight-independent). Baseline to beat: 25 fps/chip (BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+    from latentsync_tpu.audio.features import Audio2Feature
+    from latentsync_tpu.config import LatentSyncConfig, WhisperConfig
+    from latentsync_tpu.models.unet3d import UNet3DConditionModel
+    from latentsync_tpu.models.vae import AutoencoderKL
+    from latentsync_tpu.pipelines.lipsync import LipsyncPipeline
+    from latentsync_tpu.utils.params import UNET_ZERO_PATHS, cast_floating, fast_init
+
+    dtype = jnp.bfloat16
+    cfg = LatentSyncConfig()
+    res = cfg.data.resolution          # 256
+    f = cfg.data.num_frames            # 16
+    lat = res // cfg.vae.scale_factor  # 32
+    steps = cfg.run.inference_steps    # 20
+    guidance = cfg.run.guidance_scale  # 1.5
+
+    # windows per denoise call — the serving batch size
+    W = int(os.environ.get("BENCH_WINDOWS", "4"))
+    n_rounds = int(os.environ.get("BENCH_ROUNDS", "3"))
+
+    unet = UNet3DConditionModel(cfg.unet, dtype=dtype)
+    vae = AutoencoderKL(cfg.vae, dtype=dtype)
+
+    unet_params = cast_floating(
+        fast_init(
+            lambda s, t, a: unet.init(jax.random.PRNGKey(0), s, t, a),
+            jnp.zeros((1, f, lat, lat, cfg.unet.in_channels)),
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, f, 50, cfg.unet.cross_attention_dim)),
+            zero_paths=UNET_ZERO_PATHS,
+        ),
+        dtype,
+    )
+    vae_params = cast_floating(
+        fast_init(
+            lambda x: vae.init(jax.random.PRNGKey(0), x, jax.random.PRNGKey(1)),
+            jnp.zeros((1, res, res, 3)),
+            seed=1,
+        ),
+        dtype,
+    )
+
+    pipe = LipsyncPipeline(
+        unet_params, vae_params,
+        audio_encoder=Audio2Feature(WhisperConfig.tiny()),
+        config=cfg, dtype=dtype,
+    )
+
+    rng = np.random.default_rng(0)
+    total = W * f
+    pixels = jnp.asarray(rng.standard_normal((total, res, res, 3)), jnp.float32) * 0.3
+    masked_pix = pixels * 0.5
+    audio = jnp.asarray(rng.standard_normal((W, f, 50, 384)), jnp.float32)
+    mask = jnp.ones((W, f, lat, lat, 1), jnp.float32)
+    latents0 = jnp.broadcast_to(
+        jax.random.normal(jax.random.PRNGKey(0), (1, 1, lat, lat, 4)),
+        (W, f, lat, lat, 4),
+    )
+
+    denoise = pipe._denoise_fn(steps, guidance, True)
+
+    def generate():
+        masked_lat = pipe._vae_encode(masked_pix).reshape(W, f, lat, lat, 4)
+        ref_lat = pipe._vae_encode(pixels).reshape(W, f, lat, lat, 4)
+        lat_out = denoise(pipe.unet_params, latents0, mask, masked_lat, ref_lat, audio)
+        frames = pipe._vae_decode(lat_out.reshape(total, lat, lat, 4))
+        return frames
+
+    # warmup / compile
+    generate().block_until_ready()
+
+    times = []
+    for _ in range(n_rounds):
+        t0 = time.perf_counter()
+        generate().block_until_ready()
+        times.append(time.perf_counter() - t0)
+
+    best = min(times)
+    fps = total / best
+    print(json.dumps({
+        "metric": "frames_per_sec_per_chip_256px_20steps",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 25.0, 3),
+        "detail": {
+            "windows": W, "times_s": [round(t, 3) for t in times],
+            "p50_latency_5s_clip_s": round((125 / fps) * 1.0, 3),
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

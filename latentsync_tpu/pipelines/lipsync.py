@@ -1,0 +1,353 @@
+"""LipsyncPipeline: video + audio in → lip-synced video out.
+
+TPU-first re-architecture of ref:latentsync/pipelines/lipsync_pipeline.py.
+Same public semantics (num_frames=16 windows, DDIM-20, CFG 1.5, fixed
+mouth mask, shared initial noise, pad/repeat length reconciliation,
+warp-restore paste-back) but a fundamentally different execution plan:
+
+1. The reference repeats ONE noise frame across the whole clip
+   (ref:lipsync_pipeline.py:182-196) and denoises 16-frame windows
+   sequentially and independently (:500-568). Since every window starts
+   from identical latents and never reads another window, ALL windows
+   are batched into a single jitted denoise call here: shape
+   (W, 16, h, w, ·) with CFG folded in as a leading factor-2 batch.
+   One UNet launch per DDIM step total — not one per window per step.
+2. The whole 20-step loop is a lax.fori_loop inside ONE jit; latents
+   stay resident in HBM; CFG combine + DDIM update fuse into the step.
+3. VAE encode/decode run batched over all frames of all windows.
+4. Host work (face warps via cv2, video decode/encode) overlaps device
+   work naturally since JAX dispatch is async.
+5. Shapes are bucketed (windows padded up to the next power-of-two
+   bucket) so serving traffic reuses compiled programs instead of
+   recompiling per clip length (SURVEY §7 hard-parts).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+import time
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..audio.features import Audio2Feature
+from ..config import LatentSyncConfig, SchedulerConfig, UNet3DConfig, VAEConfig
+from ..models.unet3d import UNet3DConditionModel
+from ..models.vae import AutoencoderKL, scale_latents, unscale_latents
+from ..ops.ddim import DDIMScheduler
+from ..utils import repeat as lrepeat
+from ..utils.image_processor import ImageProcessor, load_fixed_mask
+from ..utils.media import (
+    mux_video_audio,
+    read_audio,
+    read_video,
+    write_audio,
+    write_video,
+)
+
+
+def _bucket(n: int, buckets=(1, 2, 4, 8, 16, 32, 64, 128)) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return n
+
+
+@dataclass
+class PipelineOutput:
+    video_path: str
+    num_frames: int
+    elapsed: dict
+
+
+class LipsyncPipeline:
+    """Drop-in equivalent of the reference pipeline's __call__
+    (ref:lipsync_pipeline.py:361-604)."""
+
+    def __init__(
+        self,
+        unet_params,
+        vae_params,
+        audio_encoder: Audio2Feature,
+        config: LatentSyncConfig = LatentSyncConfig(),
+        dtype=jnp.bfloat16,
+        landmark_detector=None,
+    ):
+        self.config = config
+        self.dtype = dtype
+        self.unet = UNet3DConditionModel(config.unet, dtype=dtype)
+        self.vae = AutoencoderKL(config.vae, dtype=dtype)
+        self.unet_params = unet_params
+        self.vae_params = vae_params
+        self.audio_encoder = audio_encoder
+        self.scheduler = DDIMScheduler.create(config.scheduler)
+        self.landmark_detector = landmark_detector
+        self._encode_jit = {}
+        self._decode_jit = {}
+        self._denoise_jit = {}
+
+    # ------------------------------------------------------------------
+    # jitted device programs (cached per shape bucket)
+    # ------------------------------------------------------------------
+
+    def _vae_encode(self, images: jnp.ndarray, chunk: int = 64) -> jnp.ndarray:
+        """(N, H, W, 3) in [-1,1] → scaled latents (N, h, w, 4), batched in
+        fixed-size chunks to bound compile variants. Deterministic (mode)
+        encoding — the reference samples the posterior per call, but at
+        inference the variance is cosmetic and mode is reproducible."""
+        if "fn" not in self._encode_jit:
+            cfg = self.config.vae
+
+            @jax.jit
+            def enc(params, x):
+                z = self.vae.apply(params, x.astype(self.dtype), method="encode")
+                return scale_latents(z, cfg)
+
+            self._encode_jit["fn"] = enc
+        n = images.shape[0]
+        pad = (-n) % chunk if n > chunk else 0
+        if n <= chunk:
+            return self._encode_jit["fn"](self.vae_params, images)[:n]
+        x = jnp.pad(images, ((0, pad), (0, 0), (0, 0), (0, 0)))
+        outs = [
+            self._encode_jit["fn"](self.vae_params, x[i : i + chunk])
+            for i in range(0, n + pad, chunk)
+        ]
+        return jnp.concatenate(outs, axis=0)[:n]
+
+    def _vae_decode(self, latents: jnp.ndarray, chunk: int = 64) -> jnp.ndarray:
+        if "fn" not in self._decode_jit:
+            cfg = self.config.vae
+
+            @jax.jit
+            def dec(params, z):
+                return self.vae.apply(
+                    params, unscale_latents(z, cfg).astype(self.dtype), method="decode"
+                )
+
+            self._decode_jit["fn"] = dec
+        n = latents.shape[0]
+        if n <= chunk:
+            return self._decode_jit["fn"](self.vae_params, latents)[:n]
+        pad = (-n) % chunk
+        z = jnp.pad(latents, ((0, pad), (0, 0), (0, 0), (0, 0)))
+        outs = [
+            self._decode_jit["fn"](self.vae_params, z[i : i + chunk])
+            for i in range(0, n + pad, chunk)
+        ]
+        return jnp.concatenate(outs, axis=0)[:n]
+
+    def _denoise_fn(self, num_steps: int, guidance: float, do_cfg: bool):
+        key = (num_steps, float(guidance), do_cfg)
+        if key in self._denoise_jit:
+            return self._denoise_jit[key]
+
+        steps, alpha_t, alpha_prev = self.scheduler.step_tables(num_steps)
+        steps_d = jnp.asarray(steps)
+        at_d = jnp.asarray(alpha_t)
+        ap_d = jnp.asarray(alpha_prev)
+        unet = self.unet
+
+        @jax.jit
+        def denoise(params, latents0, mask_l, masked_l, ref_l, audio):
+            """latents0: (W, F, h, w, 4); mask_l: (W, F, h, w, 1);
+            masked_l/ref_l: (W, F, h, w, 4); audio: (W, F, S, D)."""
+            w = latents0.shape[0]
+            cond = jnp.concatenate([mask_l, masked_l, ref_l], axis=-1)
+            if do_cfg:
+                cond2 = jnp.concatenate([cond, cond], axis=0)
+                audio2 = jnp.concatenate([jnp.zeros_like(audio), audio], axis=0)
+            else:
+                cond2, audio2 = cond, audio
+            cond2 = cond2.astype(self.dtype)
+            audio2 = audio2.astype(self.dtype)
+
+            def body(j, latents):
+                t = steps_d[j]
+                lat_in = jnp.concatenate([latents, latents], axis=0) if do_cfg else latents
+                unet_in = jnp.concatenate([lat_in.astype(self.dtype), cond2], axis=-1)
+                tvec = jnp.full((unet_in.shape[0],), t)
+                eps = unet.apply(params, unet_in, tvec, audio2).astype(jnp.float32)
+                if do_cfg:
+                    eps_u, eps_a = eps[:w], eps[w:]
+                    eps = eps_u + guidance * (eps_a - eps_u)
+                return DDIMScheduler.step(eps, latents, at_d[j], ap_d[j])
+
+            return jax.lax.fori_loop(0, num_steps, body, latents0.astype(jnp.float32))
+
+        self._denoise_jit[key] = denoise
+        return denoise
+
+    # ------------------------------------------------------------------
+    # host orchestration
+    # ------------------------------------------------------------------
+
+    def __call__(
+        self,
+        video_path: str,
+        audio_path: str,
+        video_out_path: str,
+        num_frames: int = 16,
+        video_fps: int = 25,
+        audio_sample_rate: int = 16000,
+        num_inference_steps: int = 20,
+        guidance_scale: float = 1.5,
+        seed: int = 1247,
+        mask_image_path: Optional[str] = None,
+        data_path: Optional[str] = None,
+        window_batch: int = 8,
+        height: Optional[int] = None,
+    ) -> PipelineOutput:
+        t_start = time.time()
+        cfg = self.config
+        res = height or cfg.data.resolution
+        timings = {}
+
+        # 1. faces (ref:lipsync_pipeline.py:398-407)
+        t0 = time.time()
+        mask_image = load_fixed_mask(res, mask_image_path)
+        processor = ImageProcessor(
+            res, mask=cfg.data.mask, mask_image=mask_image,
+            landmark_detector=self.landmark_detector,
+        )
+        if data_path:
+            data = np.load(data_path, allow_pickle=True)
+            faces = data["faces"]
+            boxes = list(data["boxes"])
+            matrices = list(data["affine_matrices"])
+            frames = read_video(video_path, change_fps=False)
+        else:
+            frames = read_video(video_path, change_fps=True, fps=video_fps)
+            faces, boxes, matrices = [], [], []
+            for frame in frames:
+                face, box, matrix = processor.affine_transform(frame)
+                faces.append(face)
+                boxes.append(box)
+                matrices.append(matrix)
+            faces = np.stack(faces)
+        timings["faces"] = time.time() - t0
+
+        # 2. audio features (ref:lipsync_pipeline.py:430-443)
+        t0 = time.time()
+        audio_samples = read_audio(audio_path, audio_sample_rate)
+        feats = self.audio_encoder.audio2feat(audio_samples)
+        chunks = self.audio_encoder.feature2chunks(feats, fps=video_fps)
+        chunks, audio_samples, padding_sec = lrepeat.pad_chunks_end(
+            chunks.astype(np.float32), audio_samples, audio_sample_rate,
+            fps=video_fps, multiple=num_frames,
+        )
+        num_chunks = len(chunks)
+        if num_chunks > len(faces):
+            faces = lrepeat.repeat_to_length(faces, num_chunks)
+            boxes = lrepeat.repeat_to_length(boxes, num_chunks)
+            matrices = lrepeat.repeat_to_length(matrices, num_chunks)
+            frames = lrepeat.repeat_to_length(frames, num_chunks)
+        timings["audio"] = time.time() - t0
+
+        num_windows = num_chunks // num_frames
+        total = num_windows * num_frames
+        faces = faces[:total]
+
+        # 3. masks + VAE encodes, batched over ALL frames
+        t0 = time.time()
+        pixel_values, masked_pixel, masks = processor.prepare_masks_and_masked_images(
+            faces
+        )
+        lat_hw = res // cfg.vae.scale_factor
+        masked_lat = self._vae_encode(jnp.asarray(masked_pixel))
+        ref_lat = self._vae_encode(jnp.asarray(pixel_values))
+        mask_small = jax.image.resize(
+            jnp.asarray(masks[..., :1]), (total, lat_hw, lat_hw, 1), method="nearest"
+        )
+        timings["vae_encode"] = float(time.time() - t0)
+
+        # 4. shared initial noise (ref:lipsync_pipeline.py:182-196): one
+        # frame of noise repeated over every frame of every window
+        key = jax.random.PRNGKey(seed)
+        base_noise = jax.random.normal(key, (1, 1, lat_hw, lat_hw, 4), jnp.float32)
+        latents0 = jnp.broadcast_to(
+            base_noise, (num_windows, num_frames, lat_hw, lat_hw, 4)
+        ) * self.scheduler.init_noise_sigma
+
+        def window_shape(x):
+            return x.reshape((num_windows, num_frames) + x.shape[1:])
+
+        masked_lat_w = window_shape(masked_lat)
+        ref_lat_w = window_shape(ref_lat)
+        mask_w = window_shape(mask_small)
+        audio_w = jnp.asarray(chunks[:total]).reshape(
+            num_windows, num_frames, chunks.shape[1], chunks.shape[2]
+        )
+
+        # 5. batched denoise: all windows in flight at once, bucketed
+        t0 = time.time()
+        do_cfg = guidance_scale > 1.0
+        denoise = self._denoise_fn(num_inference_steps, guidance_scale, do_cfg)
+        wb = min(_bucket(num_windows), window_batch)
+        out_latents = []
+        for i in range(0, num_windows, wb):
+            sl = slice(i, min(i + wb, num_windows))
+            n = sl.stop - sl.start
+            pad = wb - n
+
+            def padw(x):
+                if pad == 0:
+                    return x[sl]
+                return jnp.concatenate(
+                    [x[sl], jnp.repeat(x[sl.stop - 1 : sl.stop], pad, axis=0)], axis=0
+                )
+
+            lat = denoise(
+                self.unet_params,
+                padw(latents0), padw(mask_w), padw(masked_lat_w),
+                padw(ref_lat_w), padw(audio_w),
+            )
+            out_latents.append(lat[:n])
+        latents = jnp.concatenate(out_latents, axis=0)
+        timings["denoise"] = float(time.time() - t0)
+
+        # 6. decode + paste surrounding pixels back
+        # (ref:lipsync_pipeline.py:570-574)
+        t0 = time.time()
+        decoded = self._vae_decode(latents.reshape((total, lat_hw, lat_hw, 4)))
+        decoded = jnp.asarray(decoded, jnp.float32)
+        masks_j = jnp.asarray(masks[..., :1])
+        pix_j = jnp.asarray(pixel_values)
+        combined = decoded * (1.0 - masks_j) + pix_j * masks_j
+        combined = np.asarray(jnp.clip((combined + 1.0) * 127.5, 0, 255).astype(jnp.uint8))
+        timings["vae_decode"] = float(time.time() - t0)
+
+        # 7. restore into original frames (ref:lipsync_pipeline.py:343-358)
+        t0 = time.time()
+        import cv2
+
+        out_frames = []
+        for idx in range(total):
+            x1, y1, x2, y2 = boxes[idx]
+            w, h = int(x2 - x1), int(y2 - y1)
+            face = cv2.resize(combined[idx], (w, h), interpolation=cv2.INTER_LANCZOS4)
+            out_frames.append(
+                processor.restorer.restore_img(frames[idx], face, matrices[idx])
+            )
+        out_frames = np.stack(out_frames)
+        timings["restore"] = float(time.time() - t0)
+
+        # 8. write + mux (ref:lipsync_pipeline.py:589-604)
+        t0 = time.time()
+        audio_keep = int(total / video_fps * audio_sample_rate)
+        tmp_dir = os.path.join(os.path.dirname(video_out_path) or ".", "temp")
+        os.makedirs(tmp_dir, exist_ok=True)
+        wav_path = os.path.join(tmp_dir, "audio.wav")
+        write_audio(wav_path, audio_samples[:audio_keep], audio_sample_rate)
+        write_video(video_out_path, out_frames, fps=video_fps, audio_path=wav_path)
+        timings["write"] = float(time.time() - t0)
+        timings["total"] = float(time.time() - t_start)
+
+        return PipelineOutput(
+            video_path=video_out_path, num_frames=total, elapsed=timings
+        )

@@ -1,0 +1,54 @@
+"""Training losses: cosine-BCE sync loss, mixed noise, one-step x̂₀.
+
+Re-derivations of the reference's loss toolkit:
+- cosine_loss: BCE over cosine similarity of SyncNet embeddings
+  (ref:latentsync/utils/util.py:287-295)
+- mixed noise: shared-across-frames noise blended with per-frame noise
+  (ref:scripts/train_unet.py:319-332, refs arXiv 2305.10474/2308.09716)
+- one_step_sampling: x̂₀ from ε for pixel-space supervision
+  (ref:latentsync/utils/util.py:243-260) — lives on DDIMScheduler.pred_x0
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def cosine_bce_loss(vision_embeds, audio_embeds, labels, eps: float = 1e-7):
+    """BCE(cos_sim(v, a), y) per sample. Embeddings are unit vectors so
+    cos-sim is a dot product; clipping mirrors torch BCELoss input-domain
+    behavior on the [-1, 1] similarity."""
+    sims = jnp.sum(vision_embeds * audio_embeds, axis=-1)
+    p = jnp.clip(sims, eps, 1.0 - eps)
+    y = labels.astype(jnp.float32)
+    return -(y * jnp.log(p) + (1.0 - y) * jnp.log(1.0 - p))
+
+
+def mixed_noise(rng, shape, alpha: float = 1.0):
+    """Per-frame noise + shared-across-frames noise, variance-normalized:
+    (eps_i + alpha·eps_shared) / sqrt(1 + alpha²). shape = (B, F, ...)."""
+    k1, k2 = jax.random.split(rng)
+    per_frame = jax.random.normal(k1, shape)
+    shared_shape = (shape[0], 1) + shape[2:]
+    shared = jax.random.normal(k2, shared_shape)
+    return (per_frame + alpha * shared) / jnp.sqrt(1.0 + alpha**2)
+
+
+def masked_l1(pred, target, mask=None):
+    d = jnp.abs(pred - target)
+    if mask is not None:
+        return jnp.sum(d * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+    return jnp.mean(d)
+
+
+def charbonnier(pred, target, eps: float = 1e-12):
+    """Charbonnier loss (basicsr parity, ref:basicsr/losses/losses.py)."""
+    return jnp.mean(jnp.sqrt((pred - target) ** 2 + eps))
+
+
+def total_variation(x):
+    """TV loss on (B, H, W, C) (basicsr parity)."""
+    dh = jnp.mean(jnp.abs(x[:, 1:] - x[:, :-1]))
+    dw = jnp.mean(jnp.abs(x[:, :, 1:] - x[:, :, :-1]))
+    return dh + dw

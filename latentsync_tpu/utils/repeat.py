@@ -1,0 +1,108 @@
+"""Length reconciliation between audio chunks, audio samples and faces.
+
+Serving-path toolkit mirroring ref:latentsync/utils/repeat.py: whisper
+chunk lists are padded to ×16-frame windows with zero chunks, audio is
+zero-padded by the same duration, faces/boxes/matrices are repeated or
+truncated to match (consumed at ref:lipsync_pipeline.py:438-474).
+
+All functions operate on numpy arrays or lists; chunk stacks are
+(N, 50, D) arrays here rather than python lists of tensors.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Sequence, Tuple, Union
+
+import numpy as np
+
+Arr = Union[np.ndarray, list]
+
+
+def repeat_to_length(array: Arr, target_length: int) -> Arr:
+    """Tile to reach target length (ref:repeat.py:7-30)."""
+    n = len(array)
+    if n >= target_length:
+        return array[:target_length]
+    factor = -(-target_length // n)
+    if isinstance(array, np.ndarray):
+        return np.tile(array, (factor,) + (1,) * (array.ndim - 1))[:target_length]
+    return (list(array) * factor)[:target_length]
+
+
+def truncate_to_length(array: Arr, target_length: int) -> Arr:
+    """Truncate from the FRONT (ref:repeat.py:33-56)."""
+    n = len(array)
+    if n <= target_length:
+        return array
+    return array[n - target_length:]
+
+
+def pad_chunks_end(
+    chunks: np.ndarray,
+    audio_samples: np.ndarray,
+    audio_sample_rate: int,
+    fps: float = 25,
+    multiple: int = 16,
+) -> Tuple[np.ndarray, np.ndarray, float]:
+    """Append zero chunks until len % multiple == 0; zero-pad audio at the
+    END by the same duration (ref:repeat.py pad_whisper_chunks_end
+    semantics, used by the default pipeline path
+    ref:lipsync_pipeline.py:443). Returns (chunks, audio, padding_sec)."""
+    n = len(chunks)
+    add = (multiple - n % multiple) % multiple
+    pad_sec = add / fps
+    if add:
+        zeros = np.zeros((add,) + chunks.shape[1:], chunks.dtype)
+        chunks = np.concatenate([chunks, zeros], axis=0)
+        audio_samples = np.concatenate(
+            [audio_samples, np.zeros(int(pad_sec * audio_sample_rate), audio_samples.dtype)]
+        )
+    return chunks, audio_samples, pad_sec
+
+
+def pad_chunks_start(
+    chunks: np.ndarray,
+    audio_samples: np.ndarray,
+    audio_sample_rate: int,
+    fps: float = 25,
+    multiple: int = 16,
+) -> Tuple[np.ndarray, np.ndarray, float, int]:
+    """Prepend zero chunks to ×multiple; zero-pad audio at the START
+    (ref:repeat.py:81-118 pad_whisper_chunks). Returns
+    (chunks, audio, padding_sec, num_prepended)."""
+    n = len(chunks)
+    add = (multiple - n % multiple) % multiple
+    pad_sec = add / fps
+    if add:
+        zeros = np.zeros((add,) + chunks.shape[1:], chunks.dtype)
+        chunks = np.concatenate([zeros, chunks], axis=0)
+        audio_samples = np.concatenate(
+            [np.zeros(int(pad_sec * audio_sample_rate), audio_samples.dtype), audio_samples]
+        )
+    return chunks, audio_samples, pad_sec, add
+
+
+def pad_chunks_to_target(
+    chunks: np.ndarray,
+    audio_samples: np.ndarray,
+    audio_sample_rate: int,
+    target: int,
+    fps: float = 25,
+) -> Tuple[np.ndarray, np.ndarray, float]:
+    """Pad/truncate chunks to exactly `target` frames, adjusting audio
+    accordingly (ref:repeat.py pad_whisper_chunks_to_target, the
+    force_video_length path ref:lipsync_pipeline.py:455)."""
+    n = len(chunks)
+    if n >= target:
+        trimmed_sec = (n - target) / fps
+        new_len = int(len(audio_samples) - trimmed_sec * audio_sample_rate)
+        return chunks[:target], audio_samples[:max(new_len, 0)], 0.0
+    add = target - n
+    pad_sec = add / fps
+    zeros = np.zeros((add,) + chunks.shape[1:], chunks.dtype)
+    chunks = np.concatenate([chunks, zeros], axis=0)
+    audio_samples = np.concatenate(
+        [audio_samples, np.zeros(int(pad_sec * audio_sample_rate), audio_samples.dtype)]
+    )
+    return chunks, audio_samples, pad_sec

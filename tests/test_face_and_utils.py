@@ -1,0 +1,137 @@
+"""Face geometry, repeat utilities, image processor, loss tests."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from latentsync_tpu.training.losses import cosine_bce_loss, mixed_noise
+from latentsync_tpu.utils import repeat as lrepeat
+from latentsync_tpu.utils.face import (
+    AlignRestore,
+    LandmarkSmoother,
+    similarity_from_points,
+    warp_affine_batch,
+)
+from latentsync_tpu.utils.image_processor import ImageProcessor, load_fixed_mask
+
+
+def test_similarity_transform_recovers_known_motion(rng):
+    """Known rotation+scale+translation must be recovered exactly."""
+    theta, s = 0.3, 1.7
+    t = np.array([5.0, -3.0])
+    r = np.array([[np.cos(theta), -np.sin(theta)], [np.sin(theta), np.cos(theta)]])
+    src = rng.standard_normal((3, 2)) * 10
+    dst = (s * (r @ src.T)).T + t
+    m, _ = similarity_from_points(src, dst, smooth=False)
+    mapped = (m[:, :2] @ src.T).T + m[:, 2]
+    np.testing.assert_allclose(mapped, dst, atol=1e-8)
+
+
+def test_similarity_bias_smoothing():
+    """smooth=True nudges translation by EMA of the 3rd-point residual
+    (ref:affine_transform.py:24-31)."""
+    src = np.array([[0.0, 0], [10, 0], [5, 5]])
+    dst = src + 2.0
+    m1, bias1 = similarity_from_points(src, dst, smooth=True, prev_bias=None)
+    assert bias1 is not None
+    m2, bias2 = similarity_from_points(src, dst, smooth=True, prev_bias=bias1 + 1.0)
+    np.testing.assert_allclose(bias2, (bias1 + 1.0) * 0.2 + bias1 * 0.8)
+
+
+def test_landmark_smoother_first_call_identity():
+    sm = LandmarkSmoother()
+    pts = np.array([[1.0, 2.0], [3.0, 4.0], [10.0, 2.0]])
+    out = sm(pts)
+    np.testing.assert_array_equal(out, pts)
+    # tiny motion is heavily damped toward previous
+    out2 = sm(pts + 0.01)
+    assert np.abs(out2 - pts).max() < 0.01
+
+
+def test_align_restore_roundtrip(rng):
+    """Warp a frame to the face crop and paste it back unchanged → the
+    face region must survive the roundtrip."""
+    frame = (rng.random((200, 200, 3)) * 255).astype(np.uint8)
+    ar = AlignRestore()
+    anchors = np.array([[70.0, 60.0], [130.0, 60.0], [100.0, 100.0]])
+    face, m = ar.align_warp_face(frame, anchors, smooth=False)
+    assert face.shape == (ar.face_size[1], ar.face_size[0], 3)
+    restored = ar.restore_img(frame, face, m)
+    assert restored.shape == frame.shape
+    # center of the pasted face region should be close to the original
+    diff = np.abs(restored[80:120, 80:120].astype(int) - frame[80:120, 80:120].astype(int))
+    assert diff.mean() < 12.0
+
+
+def test_warp_affine_batch_identity(rng):
+    imgs = jnp.asarray(rng.random((2, 16, 16, 3)).astype(np.float32))
+    eye = jnp.asarray(np.tile(np.array([[1.0, 0, 0], [0, 1, 0]], np.float32), (2, 1, 1)))
+    out = warp_affine_batch(imgs, eye, (16, 16))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(imgs), atol=1e-5)
+
+
+def test_warp_affine_batch_translation(rng):
+    img = np.zeros((1, 8, 8, 1), np.float32)
+    img[0, 2, 3, 0] = 1.0
+    m = np.array([[[1.0, 0, 2.0], [0, 1, 1.0]]], np.float32)  # shift x+2, y+1
+    out = np.asarray(warp_affine_batch(jnp.asarray(img), jnp.asarray(m), (8, 8), fill=0.0))
+    assert out[0, 3, 5, 0] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_repeat_truncate_semantics():
+    a = np.arange(10)
+    assert len(lrepeat.repeat_to_length(a, 25)) == 25
+    np.testing.assert_array_equal(lrepeat.repeat_to_length(a, 25)[:10], a)
+    # truncate drops from the FRONT (ref:repeat.py:33-56)
+    np.testing.assert_array_equal(lrepeat.truncate_to_length(a, 4), [6, 7, 8, 9])
+
+
+def test_pad_chunks_end():
+    chunks = np.ones((20, 50, 8), np.float32)
+    audio = np.ones(int(20 / 25 * 16000), np.float32)
+    out, audio_out, pad_sec = lrepeat.pad_chunks_end(chunks, audio, 16000, fps=25)
+    assert len(out) == 32 and pad_sec == pytest.approx(12 / 25)
+    # appended chunks are zeros; audio padded at the end
+    assert out[20:].sum() == 0
+    assert len(audio_out) == len(audio) + int(pad_sec * 16000)
+    assert audio_out[-10:].sum() == 0
+
+
+def test_image_processor_mask_polarity(rng):
+    proc = ImageProcessor(64, mask="fix_mask")
+    faces = (rng.random((3, 64, 64, 3)) * 255).astype(np.uint8)
+    pix, masked, masks = proc.prepare_masks_and_masked_images(faces)
+    assert pix.shape == (3, 64, 64, 3) and masks.shape == (3, 64, 64, 1)
+    assert pix.min() >= -1.0 and pix.max() <= 1.0
+    # mouth region (mask==0) must be zeroed in masked image
+    zero_region = masks[0, :, :, 0] < 0.5
+    assert zero_region.any()
+    assert np.abs(masked[0][zero_region]).max() < 1e-6
+    # keep region unchanged
+    keep = masks[0, :, :, 0] > 0.5
+    np.testing.assert_allclose(masked[0][keep], pix[0][keep], atol=1e-6)
+
+
+def test_cosine_bce_loss_limits():
+    v = jnp.asarray([[1.0, 0.0], [1.0, 0.0]])
+    a = jnp.asarray([[1.0, 0.0], [0.0, 1.0]])  # sim 1, sim 0
+    y = jnp.asarray([1.0, 0.0])
+    losses = np.asarray(cosine_bce_loss(v, a, y))
+    assert losses[0] < 1e-5          # perfectly aligned positive
+    assert losses[1] < 1e-5 + 1e-6   # orthogonal negative → -log(1-0)=0
+    y_wrong = jnp.asarray([0.0, 1.0])
+    losses_w = np.asarray(cosine_bce_loss(v, a, y_wrong))
+    assert (losses_w > 5).all()
+
+
+def test_mixed_noise_statistics():
+    import jax
+
+    noise = mixed_noise(jax.random.PRNGKey(0), (4, 16, 8, 8, 4), alpha=1.0)
+    n = np.asarray(noise)
+    assert abs(n.std() - 1.0) < 0.05  # variance-normalized
+    # frames within a sample are correlated through the shared component
+    flat = n.reshape(4, 16, -1)
+    corr = np.corrcoef(flat[0, 0], flat[0, 1])[0, 1]
+    assert corr > 0.3
