@@ -41,9 +41,22 @@ def dot_product_attention(
     q: (..., Sq, H, D); k, v: (..., Sk, H, D). Returns (..., Sq, H, D).
     Softmax is computed in float32 regardless of input dtype (matching the
     reference's float softmax, ref:whisper/model.py:99).
+
+    Routing: long self-attention sequences on TPU go through the fused
+    Pallas flash kernel (no (S,S) logit materialization — the HBM hog of
+    the XLA path); everything else uses the einsum-softmax-einsum program.
     """
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
+    if (
+        mask is None
+        and q.ndim == 4
+        and q.shape[1] >= 256
+        and q.shape[1] == k.shape[1]
+        and _pick_block(q.shape[1]) is not None
+        and _on_tpu()
+    ):
+        return _flash_bshd(q, k, v, scale)
     dtype = q.dtype
     logits = jnp.einsum("...qhd,...khd->...hqk", q, k, preferred_element_type=jnp.float32)
     logits = logits * scale
@@ -51,6 +64,38 @@ def dot_product_attention(
         logits = logits + mask
     weights = jax.nn.softmax(logits, axis=-1).astype(dtype)
     return jnp.einsum("...hqk,...khd->...qhd", weights, v)
+
+
+@functools.lru_cache(maxsize=1)
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _pick_block(s: int) -> int | None:
+    """Largest 128-multiple block ≤512 that tiles the sequence exactly."""
+    for blk in (512, 256, 128):
+        if s % blk == 0:
+            return blk
+    return None
+
+
+def _flash_bshd(q, k, v, scale):
+    """(B, S, H, D) attention via jax's TPU flash-attention kernel."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        flash_attention as tpu_flash,
+    )
+
+    qt = jnp.swapaxes(q, 1, 2)  # (B, H, S, D)
+    kt = jnp.swapaxes(k, 1, 2)
+    vt = jnp.swapaxes(v, 1, 2)
+    blk = _pick_block(qt.shape[2])
+    sizes = BlockSizes(block_q=blk, block_k_major=blk, block_k=blk, block_b=1)
+    o = tpu_flash(qt, kt, vt, causal=False, sm_scale=scale, block_sizes=sizes)
+    return jnp.swapaxes(o, 1, 2)
 
 
 # ---------------------------------------------------------------------------

@@ -323,18 +323,47 @@ class LipsyncPipeline:
         timings["vae_decode"] = float(time.time() - t0)
 
         # 7. restore into original frames (ref:lipsync_pipeline.py:343-358)
+        # native fused warp+composite (OpenMP over frames) with cv2 fallback
         t0 = time.time()
-        import cv2
+        from ..utils.native import resize_frames_native, restore_frames_native
 
-        out_frames = []
-        for idx in range(total):
-            x1, y1, x2, y2 = boxes[idx]
-            w, h = int(x2 - x1), int(y2 - y1)
-            face = cv2.resize(combined[idx], (w, h), interpolation=cv2.INTER_LANCZOS4)
-            out_frames.append(
-                processor.restorer.restore_img(frames[idx], face, matrices[idx])
+        x1, y1, x2, y2 = boxes[0]
+        crop_hw = (int(y2 - y1), int(x2 - x1))
+        mats = np.stack([np.asarray(m, np.float64) for m in matrices[:total]])
+        out_frames = None
+        if jax.default_backend() != "cpu":
+            # TPU path: batched warp+composite on device
+            from ..ops.restore import restore_frames_device
+
+            resized = resize_frames_native(combined, crop_hw)
+            if resized is None:
+                import cv2
+
+                resized = np.stack([
+                    cv2.resize(c, crop_hw[::-1], interpolation=cv2.INTER_LANCZOS4)
+                    for c in combined
+                ])
+            out_frames = restore_frames_device(
+                np.asarray(frames[:total]), resized, mats
             )
-        out_frames = np.stack(out_frames)
+        if out_frames is None:
+            resized = resize_frames_native(combined, crop_hw)
+            if resized is not None:
+                out_frames = restore_frames_native(
+                    np.asarray(frames[:total]), resized, mats
+                )
+        if out_frames is None:
+            import cv2
+
+            out_frames = []
+            for idx in range(total):
+                face = cv2.resize(
+                    combined[idx], crop_hw[::-1], interpolation=cv2.INTER_LANCZOS4
+                )
+                out_frames.append(
+                    processor.restorer.restore_img(frames[idx], face, matrices[idx])
+                )
+            out_frames = np.stack(out_frames)
         timings["restore"] = float(time.time() - t0)
 
         # 8. write + mux (ref:lipsync_pipeline.py:589-604)

@@ -1,0 +1,91 @@
+"""SyncNet training CLI (ref:scripts/train_syncnet.py:39-262).
+
+python -m scripts.train_syncnet --config configs/syncnet.yaml
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="")
+    p.add_argument("--max-steps", type=int, default=0)
+    p.add_argument("--output-dir", default="debug/syncnet")
+    p.add_argument("--validation-steps", type=int, default=2500)
+    p.add_argument("--log-every", type=int, default=10)
+    args = p.parse_args()
+
+    from latentsync_tpu.config import LatentSyncConfig, load_config
+    from latentsync_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
+    from latentsync_tpu.training.data import HostDataLoader, SyncNetSampleSource
+    from latentsync_tpu.training.syncnet_trainer import SyncNetTrainer
+    from latentsync_tpu.utils.checkpoint import save_checkpoint
+    from latentsync_tpu.utils.observability import plot_loss_chart
+
+    config = load_config(args.config) if args.config else LatentSyncConfig()
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    trainer = SyncNetTrainer(config)
+    res = config.data.resolution
+    f = config.data.num_frames
+    import math
+
+    mel_t = math.ceil(f / 5 * 16)
+    params = trainer.init_params(
+        jax.random.PRNGKey(0),
+        (1, res // 2, res, f * 3),
+        (1, 80, mel_t, 1),
+    )
+    tx = trainer.make_optimizer()
+    opt_state = tx.init(params)
+    loss_fn, train_step, eval_step = trainer.make_step_fns(tx)
+
+    mesh = make_mesh(model_parallel=1)
+    b_shard = batch_sharding(mesh)
+    params = jax.tree.map(lambda x: jax.device_put(x, replicated(mesh)), params)
+
+    source = SyncNetSampleSource(config, seed=config.run.seed)
+    loader = HostDataLoader(source, batch_size=max(config.data.batch_size, 1))
+
+    max_steps = args.max_steps or config.run.max_train_steps
+    train_hist, val_hist = [], []
+    step = 0
+    t0 = time.time()
+    with mesh:
+        for batch in loader:
+            dev = {k: jax.device_put(jnp.asarray(v), b_shard) for k, v in batch.items()}
+            params, opt_state, loss = train_step(params, opt_state, dev)
+            step += 1
+            if step % args.log_every == 0:
+                train_hist.append((step, float(loss)))
+                print(json.dumps({"step": step, "loss": float(loss),
+                                  "steps_per_sec": args.log_every / (time.time() - t0)}))
+                t0 = time.time()
+            if step % args.validation_steps == 0:
+                vloss, vacc = eval_step(params, dev)
+                val_hist.append((step, float(vloss)))
+                plot_loss_chart(
+                    os.path.join(args.output_dir, "loss_chart.png"),
+                    ("train", [s for s, _ in train_hist], [l for _, l in train_hist]),
+                    ("val", [s for s, _ in val_hist], [l for _, l in val_hist]),
+                )
+                save_checkpoint(args.output_dir, step, params, opt_state,
+                                aux={"train_hist": train_hist, "val_hist": val_hist})
+            if step >= max_steps:
+                break
+    loader.close()
+    save_checkpoint(args.output_dir, step, params, opt_state,
+                    aux={"train_hist": train_hist, "val_hist": val_hist})
+
+
+if __name__ == "__main__":
+    main()
