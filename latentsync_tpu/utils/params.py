@@ -39,9 +39,10 @@ def fast_init(
     for path, leaf in flat:
         name = "/".join(str(getattr(p, "key", p)) for p in path)
         last = name.rsplit("/", 1)[-1]
-        if last in ("bias",):
+        if last in ("bias", "mean"):
             arr = np.zeros(leaf.shape, leaf.dtype)
-        elif last in ("scale",):
+        elif last in ("scale", "var"):
+            # batch_stats var must stay positive (sqrt downstream)
             arr = np.ones(leaf.shape, leaf.dtype)
         elif any(z in name for z in zero_paths):
             arr = np.zeros(leaf.shape, leaf.dtype)
