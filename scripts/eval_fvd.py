@@ -1,0 +1,57 @@
+"""FVD CLI (ref:eval/eval_fvd.py:26, fvd.py:28): Fréchet video distance
+between generated and reference clip sets using a pluggable feature net."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--real-dir", required=True)
+    p.add_argument("--fake-dir", required=True)
+    p.add_argument("--num-frames", type=int, default=16)
+    p.add_argument("--size", type=int, default=224)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from latentsync_tpu.models.perceptual import I3DFeatures, compute_fvd
+    from latentsync_tpu.utils.media import read_video
+    from latentsync_tpu.utils.params import fast_init
+
+    model = I3DFeatures()
+    params = fast_init(
+        lambda v: model.init(jax.random.PRNGKey(0), v),
+        jnp.zeros((1, args.num_frames, args.size, args.size, 3)),
+    )
+    fn = jax.jit(lambda p, v: model.apply(p, v))
+
+    import cv2
+
+    def features_for(directory):
+        feats = []
+        for name in sorted(os.listdir(directory)):
+            if not name.endswith(".mp4"):
+                continue
+            frames = read_video(os.path.join(directory, name), change_fps=False)
+            if len(frames) < args.num_frames:
+                continue
+            clip = frames[: args.num_frames]
+            clip = np.stack([cv2.resize(f, (args.size, args.size)) for f in clip])
+            clip = clip.astype(np.float32) / 127.5 - 1.0
+            feats.append(np.asarray(fn(params, jnp.asarray(clip[None]))[0]))
+        return np.stack(feats)
+
+    real = features_for(args.real_dir)
+    fake = features_for(args.fake_dir)
+    print(json.dumps({"fvd": compute_fvd(fake, real),
+                      "n_real": len(real), "n_fake": len(fake)}))
+
+
+if __name__ == "__main__":
+    main()
