@@ -52,3 +52,32 @@ def total_variation(x):
     dh = jnp.mean(jnp.abs(x[:, 1:] - x[:, :-1]))
     dw = jnp.mean(jnp.abs(x[:, :, 1:] - x[:, :, :-1]))
     return dh + dw
+
+
+def gan_loss(pred, target_is_real: bool, mode: str = "hinge"):
+    """GAN losses (ref:basicsr/losses/losses.py GANLoss): vanilla BCE,
+    lsgan MSE, hinge, wgan."""
+    if mode == "vanilla":
+        labels = jnp.ones_like(pred) if target_is_real else jnp.zeros_like(pred)
+        return jnp.mean(
+            jnp.maximum(pred, 0) - pred * labels + jnp.log1p(jnp.exp(-jnp.abs(pred)))
+        )
+    if mode == "lsgan":
+        target = 1.0 if target_is_real else 0.0
+        return jnp.mean((pred - target) ** 2)
+    if mode == "hinge":
+        if target_is_real:
+            return jnp.mean(jax.nn.relu(1.0 - pred))
+        return jnp.mean(jax.nn.relu(1.0 + pred))
+    if mode == "wgan":
+        return -jnp.mean(pred) if target_is_real else jnp.mean(pred)
+    raise ValueError(f"unknown gan mode {mode}")
+
+
+def r1_penalty(disc_fn, params, real, rng=None):
+    """R1 gradient penalty (ref:basicsr/losses/losses.py r1_penalty)."""
+    def score(x):
+        return jnp.sum(disc_fn(params, x))
+
+    grads = jax.grad(score)(real)
+    return jnp.mean(jnp.sum(grads**2, axis=tuple(range(1, grads.ndim))))
