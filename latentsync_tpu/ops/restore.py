@@ -78,7 +78,7 @@ def restore_frames_device(
     frames: np.ndarray,
     faces: np.ndarray,
     matrices: np.ndarray,
-    chunk: int = 16,
+    chunk: int = 4,
 ) -> np.ndarray:
     """frames (N,H,W,3) uint8; faces (N,fh,fw,3) uint8; matrices (N,2,3)
     forward align matrices. Returns composited uint8 frames.

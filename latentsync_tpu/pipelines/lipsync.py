@@ -343,9 +343,13 @@ class LipsyncPipeline:
                     cv2.resize(c, crop_hw[::-1], interpolation=cv2.INTER_LANCZOS4)
                     for c in combined
                 ])
-            out_frames = restore_frames_device(
-                np.asarray(frames[:total]), resized, mats
-            )
+            try:
+                out_frames = restore_frames_device(
+                    np.asarray(frames[:total]), resized, mats
+                )
+            except Exception as e:  # noqa: BLE001 — OOM on huge frames → host path
+                print(f"device restore fell back to host: {type(e).__name__}")
+                out_frames = None
         if out_frames is None:
             resized = resize_frames_native(combined, crop_hw)
             if resized is not None:
