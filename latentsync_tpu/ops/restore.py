@@ -99,11 +99,14 @@ def restore_frames_device(
     inv_t = -np.einsum("nij,nj->ni", inv_a, t)
     inv_m = np.concatenate([inv_a, inv_t[:, :, None]], axis=2)
 
-    # area-derived edge radius, shared across the clip, bucketed
+    # area-derived edge radius, shared across the clip, bucketed to
+    # multiples of 8 so serving reuses a handful of compiled programs
     scale_area = np.abs(det).mean()
     area = fh * fw / max(scale_area, 1e-9)
     edge = int(np.sqrt(area)) // 20
     edge = min(max(edge, 0), 64)
+    if edge > 0:
+        edge = max(8, int(round(edge / 8)) * 8)
 
     out = np.empty_like(frames)
     for i in range(0, n, chunk):

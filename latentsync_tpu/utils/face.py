@@ -46,8 +46,11 @@ def similarity_from_points(
     """2×3 similarity transform mapping src → dst points.
 
     Orthogonal-Procrustes on standardized point sets; when `smooth`, the
-    translation is nudged by an EMA of the third-point residual
-    (bias = 0.2·prev + 0.8·cur), matching ref:affine_transform.py:7-32.
+    translation is nudged by an EMA of the STANDARDIZED third-point
+    residual (bias = 0.2·prev + 0.8·cur) — the reference standardizes its
+    point arrays in place before taking the residual
+    (ref:affine_transform.py:10-31), so the bias lives in normalized
+    units, a sub-pixel-scale stabilizer rather than a raw-pixel shift.
     """
     src = np.asarray(src, np.float64).copy()
     dst = np.asarray(dst, np.float64).copy()
@@ -64,7 +67,7 @@ def similarity_from_points(
     m[:, 2] = c2 - scale * (r @ c1)
     bias = None
     if smooth:
-        cur = dst[2] - src[2]
+        cur = b[2] - a[2]  # standardized residual of the 3rd (nose) point
         bias = cur if prev_bias is None else prev_bias * 0.2 + cur * 0.8
         m[:, 2] += bias
     return m, bias

@@ -29,14 +29,20 @@ def test_similarity_transform_recovers_known_motion(rng):
 
 
 def test_similarity_bias_smoothing():
-    """smooth=True nudges translation by EMA of the 3rd-point residual
-    (ref:affine_transform.py:24-31)."""
+    """smooth=True nudges translation by EMA of the STANDARDIZED
+    3rd-point residual (ref:affine_transform.py:10-31) — the bias must be
+    sub-pixel scale even when src/dst are hundreds of pixels apart."""
     src = np.array([[0.0, 0], [10, 0], [5, 5]])
-    dst = src + 2.0
+    dst = src * 3 + 500.0  # large raw offset
     m1, bias1 = similarity_from_points(src, dst, smooth=True, prev_bias=None)
     assert bias1 is not None
+    # standardized residual, NOT the ~500px raw offset
+    assert np.abs(bias1).max() < 1.0
     m2, bias2 = similarity_from_points(src, dst, smooth=True, prev_bias=bias1 + 1.0)
     np.testing.assert_allclose(bias2, (bias1 + 1.0) * 0.2 + bias1 * 0.8)
+    # the warp must still land points on dst (bias is a small perturbation)
+    mapped = (m1[:, :2] @ src.T).T + m1[:, 2]
+    np.testing.assert_allclose(mapped, dst, atol=1.5)
 
 
 def test_landmark_smoother_first_call_identity():

@@ -1,0 +1,131 @@
+"""End-to-end pipeline test on tiny models (CPU): synthetic video+audio
+in → lip-synced video out, exercising faces → audio features → VAE →
+window-batched denoise → decode → restore → write."""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def tiny_pipeline():
+    from latentsync_tpu.audio.features import Audio2Feature
+    from latentsync_tpu.config import (
+        DataConfig,
+        LatentSyncConfig,
+        MotionModuleConfig,
+        UNet3DConfig,
+        VAEConfig,
+        WhisperConfig,
+    )
+    from latentsync_tpu.pipelines.lipsync import LipsyncPipeline
+    from latentsync_tpu.utils.params import fast_init
+
+    cfg = LatentSyncConfig(
+        unet=UNet3DConfig(
+            block_out_channels=(32, 64, 64, 64),
+            layers_per_block=1,
+            norm_num_groups=8,
+            cross_attention_dim=16,
+            attention_head_dim=4,
+            motion_module=MotionModuleConfig(num_attention_heads=4,
+                                             num_transformer_block=1),
+        ),
+        vae=VAEConfig(block_out_channels=(8, 16), layers_per_block=1,
+                      norm_num_groups=4),
+        whisper=WhisperConfig(n_audio_state=16, n_audio_head=4, n_audio_layer=1,
+                              n_audio_ctx=1500),
+        data=DataConfig(num_frames=4, resolution=32),
+    )
+    from latentsync_tpu.models.unet3d import UNet3DConditionModel
+    from latentsync_tpu.models.vae import AutoencoderKL
+
+    lat = 32 // cfg.vae.scale_factor  # 16
+    unet = UNet3DConditionModel(cfg.unet)
+    unet_params = fast_init(
+        lambda s, t, a: unet.init(jax.random.PRNGKey(0), s, t, a),
+        jnp.zeros((1, 4, lat, lat, 13)), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 4, 50, 16)),
+        seed=2,
+    )
+    vae = AutoencoderKL(cfg.vae)
+    vae_params = fast_init(
+        lambda x: vae.init(jax.random.PRNGKey(0), x, jax.random.PRNGKey(1)),
+        jnp.zeros((1, 32, 32, 3)), seed=3,
+    )
+    audio_encoder = Audio2Feature(cfg.whisper, num_frames=4)
+    return LipsyncPipeline(unet_params, vae_params, audio_encoder, cfg,
+                           dtype=jnp.float32)
+
+
+def test_pipeline_end_to_end(tiny_pipeline, tmp_path, rng):
+    import cv2
+
+    from latentsync_tpu.utils.media import read_video, write_audio
+
+    # synthetic 2-second inputs
+    video_path = str(tmp_path / "in.mp4")
+    frames = (rng.random((50, 96, 80, 3)) * 200 + 30).astype(np.uint8)
+    w = cv2.VideoWriter(video_path, cv2.VideoWriter_fourcc(*"mp4v"), 25, (80, 96))
+    for fr in frames:
+        w.write(cv2.cvtColor(fr, cv2.COLOR_RGB2BGR))
+    w.release()
+    audio_path = str(tmp_path / "in.wav")
+    write_audio(audio_path, (rng.standard_normal(32000) * 0.05).astype(np.float32))
+
+    out_path = str(tmp_path / "out.mp4")
+    result = tiny_pipeline(
+        video_path=video_path,
+        audio_path=audio_path,
+        video_out_path=out_path,
+        num_frames=4,
+        num_inference_steps=3,
+        guidance_scale=1.5,
+        window_batch=4,
+        height=32,
+    )
+    assert os.path.isfile(result.video_path)
+    out = read_video(result.video_path, change_fps=False)
+    # 2s audio at 25fps → 50 chunks + the loop's extra → padded to /4
+    assert len(out) >= 48
+    assert out.shape[1:] == (96, 80, 3)
+    # output differs from input (mouth region replaced by model output)
+    n = min(len(out), len(frames))
+    assert np.abs(out[:n].astype(int) - frames[:n].astype(int)).mean() > 0.5
+    # timings recorded for every stage
+    for key in ("faces", "audio", "vae_encode", "denoise", "vae_decode",
+                "restore", "write", "total"):
+        assert key in result.elapsed
+
+
+def test_pipeline_precomputed_bundle(tiny_pipeline, tmp_path, rng):
+    """The serving path: data_path bundle skips face detection
+    (ref:lipsync_pipeline.py:400-405)."""
+    import cv2
+
+    from latentsync_tpu.serving.artifacts import generate_affine_bundle
+    from latentsync_tpu.utils.image_processor import ImageProcessor
+    from latentsync_tpu.utils.media import write_audio
+
+    video_path = str(tmp_path / "avatar.mp4")
+    frames = (rng.random((30, 96, 80, 3)) * 200 + 30).astype(np.uint8)
+    w = cv2.VideoWriter(video_path, cv2.VideoWriter_fourcc(*"mp4v"), 25, (80, 96))
+    for fr in frames:
+        w.write(cv2.cvtColor(fr, cv2.COLOR_RGB2BGR))
+    w.release()
+    bundle = generate_affine_bundle(
+        ImageProcessor(32), video_path, str(tmp_path / "avatar.npz"))
+
+    audio_path = str(tmp_path / "a.wav")
+    write_audio(audio_path, (rng.standard_normal(16000) * 0.05).astype(np.float32))
+    result = tiny_pipeline(
+        video_path=video_path, audio_path=audio_path,
+        video_out_path=str(tmp_path / "out2.mp4"),
+        num_frames=4, num_inference_steps=2, data_path=bundle, height=32,
+    )
+    assert os.path.isfile(result.video_path)
