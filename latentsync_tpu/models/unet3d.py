@@ -257,7 +257,14 @@ def interleaved_positional_encoding(max_len: int, d_model: int) -> np.ndarray:
 
 class TemporalAttention(nn.Module):
     """VersatileAttention Temporal_Self (ref:motion_module.py:237-313):
-    attention across the frame axis per spatial location."""
+    attention across the frame axis per spatial location.
+
+    Input arrives ALREADY in (b·s, f, c) layout — TemporalModule
+    transposes once for its whole block stack instead of per-attention
+    (the reference reshapes around every attention call,
+    ref:motion_module.py:265,311; norms/FF are per-token so the layout
+    is equivalent, and two full-tensor transposes per attention vanish).
+    """
 
     dim: int
     heads: int
@@ -267,19 +274,12 @@ class TemporalAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, video_length: int):
-        bf, s, c = x.shape
-        b = bf // video_length
-        # (b f) s c → (b s) f c
-        h = x.reshape(b, video_length, s, c).transpose(0, 2, 1, 3)
-        h = h.reshape(b * s, video_length, c)
+    def __call__(self, h, video_length: int):
         if self.use_pos_encoding:
-            pe = interleaved_positional_encoding(self.max_len, c)
+            pe = interleaved_positional_encoding(self.max_len, h.shape[-1])
             h = h + jnp.asarray(pe[:video_length], h.dtype)
-        o = CrossAttention(self.dim, self.heads, self.dim_head,
-                           dtype=self.dtype, name="attn")(h)
-        o = o.reshape(b, s, video_length, c).transpose(0, 2, 1, 3)
-        return o.reshape(bf, s, c)
+        return CrossAttention(self.dim, self.heads, self.dim_head,
+                              dtype=self.dtype, name="attn")(h)
 
 
 class TemporalModule(nn.Module):
@@ -305,6 +305,12 @@ class TemporalModule(nn.Module):
         h = h.reshape(b * f, hh * ww, c).astype(self.dtype)
         h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(h)
 
+        # ONE layout change for the whole temporal block stack:
+        # (b·f, s, c) → (b·s, f, c); norms/FF are per-token so every inner
+        # op is layout-equivalent to the reference's per-attention reshapes
+        s = hh * ww
+        h = h.reshape(b, f, s, inner).transpose(0, 2, 1, 3).reshape(b * s, f, inner)
+
         for i in range(self.mm.num_transformer_block):
             blk = f"transformer_blocks_{i}"
             for j, _ in enumerate(self.mm.attention_block_types):
@@ -319,6 +325,8 @@ class TemporalModule(nn.Module):
             h = h + GEGLUFeedForward(inner, dtype=self.dtype, name=f"{blk}_ff")(
                 hn.astype(self.dtype)
             )
+
+        h = h.reshape(b, s, f, inner).transpose(0, 2, 1, 3).reshape(b * f, s, inner)
 
         h = nn.Dense(
             c, dtype=self.dtype, name="proj_out",
