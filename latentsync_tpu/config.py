@@ -291,6 +291,20 @@ def _build_dataclass(cls, data: Dict[str, Any]):
         if dataclasses.is_dataclass(_resolve_type(ftype)) and isinstance(value, dict):
             kwargs[key] = _build_dataclass(_resolve_type(ftype), value)
         else:
+            # YAML 1.1 parses "1e-4" (no dot) as a string — coerce scalars
+            # to the field's declared numeric type
+            decl = str(ftype)
+            if isinstance(value, str):
+                if decl.startswith("float") or isinstance(f.default, float):
+                    try:
+                        value = float(value)
+                    except ValueError:
+                        pass
+                elif decl.startswith("int") or isinstance(f.default, int):
+                    try:
+                        value = int(value)
+                    except ValueError:
+                        pass
             kwargs[key] = _freeze(value)
     return cls(**kwargs)
 

@@ -22,6 +22,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+import math
+
 from ..config import SyncNetConfig, SyncNetEncoderConfig
 from ..ops.attention import dot_product_attention
 from .unet3d import GEGLUFeedForward
@@ -45,10 +47,12 @@ class SyncResnetBlock2D(nn.Module):
     @nn.compact
     def __call__(self, x):
         in_ch = x.shape[-1]
-        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=jnp.float32, name="norm1")(x)
+        g1 = math.gcd(self.groups, in_ch)
+        g2 = math.gcd(self.groups, self.out_channels)
+        h = nn.GroupNorm(g1, epsilon=self.eps, dtype=jnp.float32, name="norm1")(x)
         h = nn.silu(h).astype(self.dtype)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
-        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=jnp.float32, name="norm2")(h)
+        h = nn.GroupNorm(g2, epsilon=self.eps, dtype=jnp.float32, name="norm2")(h)
         h = nn.silu(h).astype(self.dtype)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if in_ch != self.out_channels:
@@ -85,7 +89,7 @@ class SyncAttentionBlock2D(nn.Module):
     def __call__(self, x):
         b, hh, ww, c = x.shape
         residual = x
-        h = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
+        h = nn.GroupNorm(math.gcd(self.groups, c), epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
         h = nn.Conv(c, (1, 1), dtype=self.dtype, name="conv_in")(h.astype(self.dtype))
         h = h.reshape(b, hh * ww, c)
 
@@ -134,7 +138,8 @@ class DownEncoder2D(nn.Module):
                     ch, self.groups, dtype=self.dtype, name=f"down_blocks_{idx}"
                 )(h)
                 idx += 1
-        h = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=jnp.float32, name="norm_out")(h)
+        h = nn.GroupNorm(math.gcd(self.groups, h.shape[-1]), epsilon=1e-6,
+                         dtype=jnp.float32, name="norm_out")(h)
         return nn.relu(h).astype(self.dtype)
 
 

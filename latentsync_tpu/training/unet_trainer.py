@@ -109,6 +109,16 @@ class UNetTrainer:
             masked_latents = enc(batch["masked_pixels"])
             ref_latents = enc(batch["ref_pixels"])
 
+            masks = batch["masks"]
+            if masks.shape[2] != gt_latents.shape[2]:
+                # datasets hand back full-res masks; the UNet's mask
+                # channel lives at latent res (ref:lipsync_pipeline.py:290)
+                masks = jax.image.resize(
+                    masks,
+                    (b, f) + gt_latents.shape[2:4] + (1,),
+                    method="nearest",
+                )
+
             t = jax.random.randint(rng_t, (b,), 0, cfg.scheduler.num_train_timesteps)
             if run.use_mixed_noise:
                 noise = mixed_noise(rng_n, gt_latents.shape, run.mixed_noise_alpha)
@@ -116,7 +126,7 @@ class UNetTrainer:
                 noise = jax.random.normal(rng_n, gt_latents.shape)
             noisy = scheduler.add_noise(gt_latents, noise, t)  # t broadcasts over (B,F,h,w,C)
             unet_in = jnp.concatenate(
-                [noisy, batch["masks"], masked_latents, ref_latents], axis=-1
+                [noisy, masks, masked_latents, ref_latents], axis=-1
             ).astype(self.dtype)
             eps_pred = unet.apply(params, unet_in, t, batch["audio_embeds"].astype(self.dtype))
             eps_pred = eps_pred.astype(jnp.float32)

@@ -49,7 +49,10 @@ def main():
     opt_state = tx.init(params)
     loss_fn, train_step, eval_step = trainer.make_step_fns(tx)
 
-    mesh = make_mesh(model_parallel=1)
+    import math as _math
+
+    dp = _math.gcd(max(config.data.batch_size, 1), len(jax.devices()))
+    mesh = make_mesh(n_devices=dp, model_parallel=1)
     b_shard = batch_sharding(mesh)
     params = jax.tree.map(lambda x: jax.device_put(x, replicated(mesh)), params)
 

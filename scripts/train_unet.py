@@ -75,7 +75,12 @@ def main():
     vae_params = cast_floating(vae_params, jnp.bfloat16)
 
     # --- mesh + sharding ---
-    mesh = make_mesh(model_parallel=1)
+    # data-parallel degree must divide the global batch
+    import math as _math
+
+    batch = max(config.data.batch_size, 1)
+    dp = _math.gcd(batch, len(jax.devices()))
+    mesh = make_mesh(n_devices=dp, model_parallel=1)
     b_shard = batch_sharding(mesh)
     r_shard = replicated(mesh)
     unet_params = jax.tree.map(lambda x: jax.device_put(x, r_shard), unet_params)
