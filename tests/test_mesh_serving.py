@@ -1,0 +1,83 @@
+"""Multi-chip serving test: the window-batched denoise program runs SPMD
+over a mesh with windows sharded on the data axis (BASELINE config 5 —
+continuous-batched clips across a v5e-8 mesh, here on 8 virtual CPU
+devices), and matches the unsharded result exactly."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from latentsync_tpu.audio.features import Audio2Feature
+from latentsync_tpu.config import (
+    DataConfig,
+    LatentSyncConfig,
+    MotionModuleConfig,
+    UNet3DConfig,
+    VAEConfig,
+    WhisperConfig,
+)
+from latentsync_tpu.parallel.mesh import make_mesh
+from latentsync_tpu.pipelines.lipsync import LipsyncPipeline
+from latentsync_tpu.utils.params import fast_init
+
+
+@pytest.fixture(scope="module")
+def tiny_pipe():
+    cfg = LatentSyncConfig(
+        unet=UNet3DConfig(
+            block_out_channels=(32, 64, 64, 64), layers_per_block=1,
+            norm_num_groups=8, cross_attention_dim=16, attention_head_dim=4,
+            motion_module=MotionModuleConfig(num_attention_heads=4,
+                                             num_transformer_block=1),
+        ),
+        vae=VAEConfig(block_out_channels=(8, 16), layers_per_block=1,
+                      norm_num_groups=4),
+        data=DataConfig(num_frames=4, resolution=16),
+    )
+    from latentsync_tpu.models.unet3d import UNet3DConditionModel
+    from latentsync_tpu.models.vae import AutoencoderKL
+
+    lat = 8
+    unet = UNet3DConditionModel(cfg.unet)
+    up = fast_init(
+        lambda s, t, a: unet.init(jax.random.PRNGKey(0), s, t, a),
+        jnp.zeros((1, 4, lat, lat, 13)), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 4, 10, 16)), seed=2,
+    )
+    vae = AutoencoderKL(cfg.vae)
+    vp = fast_init(
+        lambda x: vae.init(jax.random.PRNGKey(0), x, jax.random.PRNGKey(1)),
+        jnp.zeros((1, 16, 16, 3)), seed=3,
+    )
+    # f32: the DDIM x0 division amplifies bf16 noise ~17× at t≈951, which
+    # would swamp the sharded-vs-single comparison
+    return LipsyncPipeline(up, vp, Audio2Feature(WhisperConfig(
+        n_audio_state=16, n_audio_head=4, n_audio_layer=1)), cfg,
+        dtype=jnp.float32)
+
+
+def test_denoise_shards_over_mesh(tiny_pipe, rng):
+    pipe = tiny_pipe
+    lat, f, W = 8, 4, 8
+    denoise = pipe._denoise_fn(3, 1.5, True)
+
+    latents0 = jnp.asarray(rng.standard_normal((W, f, lat, lat, 4)).astype(np.float32))
+    mask = jnp.ones((W, f, lat, lat, 1), jnp.float32)
+    masked = jnp.asarray(rng.standard_normal((W, f, lat, lat, 4)).astype(np.float32))
+    ref = jnp.asarray(rng.standard_normal((W, f, lat, lat, 4)).astype(np.float32))
+    audio = jnp.asarray(rng.standard_normal((W, f, 10, 16)).astype(np.float32))
+
+    single = np.asarray(denoise(pipe.unet_params, latents0, mask, masked, ref, audio))
+
+    mesh = make_mesh(8, model_parallel=1)
+    shard = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    args = [jax.device_put(x, shard) for x in (latents0, mask, masked, ref, audio)]
+    params = jax.tree.map(lambda x: jax.device_put(x, repl), pipe.unet_params)
+    with mesh:
+        sharded = np.asarray(denoise(params, *args))
+
+    np.testing.assert_allclose(sharded, single, atol=2e-4, rtol=2e-3)
