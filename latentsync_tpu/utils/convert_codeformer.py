@@ -63,9 +63,16 @@ def convert_codeformer(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
                     _put(params, (parts[0], f"blocks_{m.group(1)}", "gn"), leaf, w)
                 continue
             base, leaf2, mid = res
-            if mid == () and w.ndim < 2:
-                # GroupNorm at top block level
-                _put(params, base + ("gn",), leaf2, w)
+            if mid == ():
+                # top-level blocks.N.{weight,bias} is either a plain conv
+                # (conv_in/out) or a bare GroupNorm — disambiguate by the
+                # sibling weight's rank
+                wkey = key.rsplit(".", 1)[0] + ".weight"
+                is_norm = sd.get(wkey, w).ndim < 2
+                if is_norm:
+                    _put(params, base + ("gn",), leaf2, w)
+                else:
+                    _put(params, base, leaf2, w)
             else:
                 _put(params, base + mid, leaf2, w)
         elif parts[0] == "quantize":
