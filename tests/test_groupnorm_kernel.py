@@ -1,0 +1,38 @@
+"""Fused GroupNorm+SiLU Pallas kernel vs flax reference (interpret mode
+on CPU; the compiled path runs on TPU)."""
+
+import numpy as np
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from latentsync_tpu.ops.groupnorm import group_norm_silu
+
+
+def test_matches_flax_groupnorm_silu(rng):
+    n_samples, rows, c, groups = 3, 16, 64, 8
+    x = jnp.asarray(rng.standard_normal((n_samples * rows, c)).astype(np.float32))
+    scale = jnp.asarray(rng.standard_normal(c).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal(c).astype(np.float32))
+
+    out = group_norm_silu(x, scale, bias, groups, rows, interpret=True)
+
+    gn = nn.GroupNorm(groups, epsilon=1e-5)
+    params = {"params": {"scale": scale, "bias": bias}}
+    ref = nn.silu(gn.apply(params, x.reshape(n_samples, rows, c)))
+    ref = np.asarray(ref).reshape(n_samples * rows, c)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=2e-5)
+
+
+def test_no_silu_and_bf16(rng):
+    x = jnp.asarray(rng.standard_normal((8, 32)).astype(np.float32)).astype(jnp.bfloat16)
+    scale = jnp.ones(32)
+    bias = jnp.zeros(32)
+    out = group_norm_silu(x, scale, bias, groups=4, rows_per_sample=8,
+                          silu=False, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    # normalized: near-zero mean, unit variance per group
+    o = np.asarray(out, np.float32).reshape(8, 4, 8)
+    assert abs(o.mean()) < 0.05
+    assert abs(o.var() - 1.0) < 0.15
