@@ -65,6 +65,34 @@ class PipelineOutput:
     elapsed: dict
 
 
+@dataclass
+class JobState:
+    """Everything a clip needs between prepare() and finish(): per-window
+    device tensors for the denoiser plus host artifacts for paste-back.
+    Lets the serving layer continuous-batch windows from many concurrent
+    jobs (serving/batcher.py) while finish() stays per-job."""
+
+    latents0: jnp.ndarray     # (W, F, h, w, 4)
+    mask_w: jnp.ndarray       # (W, F, h, w, 1)
+    masked_lat_w: jnp.ndarray
+    ref_lat_w: jnp.ndarray
+    audio_w: jnp.ndarray      # (W, F, S, D)
+    frames: np.ndarray
+    boxes: list
+    matrices: list
+    masks: np.ndarray
+    pixel_values: np.ndarray
+    audio_samples: np.ndarray
+    num_frames: int
+    num_windows: int
+    video_fps: int
+    audio_sample_rate: int
+    lat_hw: int
+    processor: object
+    timings: dict
+    start_time: float
+
+
 class LipsyncPipeline:
     """Drop-in equivalent of the reference pipeline's __call__
     (ref:lipsync_pipeline.py:361-604)."""
@@ -187,22 +215,20 @@ class LipsyncPipeline:
     # host orchestration
     # ------------------------------------------------------------------
 
-    def __call__(
+    def prepare(
         self,
         video_path: str,
         audio_path: str,
-        video_out_path: str,
         num_frames: int = 16,
         video_fps: int = 25,
         audio_sample_rate: int = 16000,
-        num_inference_steps: int = 20,
-        guidance_scale: float = 1.5,
         seed: int = 1247,
         mask_image_path: Optional[str] = None,
         data_path: Optional[str] = None,
-        window_batch: int = 8,
         height: Optional[int] = None,
-    ) -> PipelineOutput:
+    ) -> JobState:
+        """Stages 1-4: faces, audio features, VAE encodes, shared noise —
+        everything up to (but excluding) the denoise."""
         t_start = time.time()
         cfg = self.config
         res = height or cfg.data.resolution
@@ -284,8 +310,27 @@ class LipsyncPipeline:
             num_windows, num_frames, chunks.shape[1], chunks.shape[2]
         )
 
-        # 5. batched denoise: all windows in flight at once, bucketed
+        return JobState(
+            latents0=latents0, mask_w=mask_w, masked_lat_w=masked_lat_w,
+            ref_lat_w=ref_lat_w, audio_w=audio_w,
+            frames=frames, boxes=boxes, matrices=matrices, masks=masks,
+            pixel_values=pixel_values, audio_samples=audio_samples,
+            num_frames=num_frames, num_windows=num_windows,
+            video_fps=video_fps, audio_sample_rate=audio_sample_rate,
+            lat_hw=lat_hw, processor=processor, timings=timings,
+            start_time=t_start,
+        )
+
+    def denoise_all(
+        self,
+        state: JobState,
+        num_inference_steps: int = 20,
+        guidance_scale: float = 1.5,
+        window_batch: int = 8,
+    ) -> jnp.ndarray:
+        """Stage 5: bucketed window-batched denoise → (W, F, h, w, 4)."""
         t0 = time.time()
+        num_windows = state.num_windows
         do_cfg = guidance_scale > 1.0
         denoise = self._denoise_fn(num_inference_steps, guidance_scale, do_cfg)
         wb = min(_bucket(num_windows), window_batch)
@@ -304,12 +349,33 @@ class LipsyncPipeline:
 
             lat = denoise(
                 self.unet_params,
-                padw(latents0), padw(mask_w), padw(masked_lat_w),
-                padw(ref_lat_w), padw(audio_w),
+                padw(state.latents0), padw(state.mask_w), padw(state.masked_lat_w),
+                padw(state.ref_lat_w), padw(state.audio_w),
             )
             out_latents.append(lat[:n])
         latents = jnp.concatenate(out_latents, axis=0)
-        timings["denoise"] = float(time.time() - t0)
+        state.timings["denoise"] = float(time.time() - t0)
+        return latents
+
+    def finish(
+        self, state: JobState, latents: jnp.ndarray, video_out_path: str
+    ) -> PipelineOutput:
+        """Stages 6-8: decode, composite, restore, write."""
+        timings = state.timings
+        num_windows = state.num_windows
+        num_frames = state.num_frames
+        total = num_windows * num_frames
+        lat_hw = state.lat_hw
+        masks = state.masks
+        pixel_values = state.pixel_values
+        frames = state.frames
+        boxes = state.boxes
+        matrices = state.matrices
+        processor = state.processor
+        video_fps = state.video_fps
+        audio_sample_rate = state.audio_sample_rate
+        audio_samples = state.audio_samples
+        t_start = state.start_time
 
         # 6. decode + paste surrounding pixels back
         # (ref:lipsync_pipeline.py:570-574)
@@ -384,3 +450,30 @@ class LipsyncPipeline:
         return PipelineOutput(
             video_path=video_out_path, num_frames=total, elapsed=timings
         )
+
+    def __call__(
+        self,
+        video_path: str,
+        audio_path: str,
+        video_out_path: str,
+        num_frames: int = 16,
+        video_fps: int = 25,
+        audio_sample_rate: int = 16000,
+        num_inference_steps: int = 20,
+        guidance_scale: float = 1.5,
+        seed: int = 1247,
+        mask_image_path: Optional[str] = None,
+        data_path: Optional[str] = None,
+        window_batch: int = 8,
+        height: Optional[int] = None,
+    ) -> PipelineOutput:
+        state = self.prepare(
+            video_path, audio_path, num_frames=num_frames, video_fps=video_fps,
+            audio_sample_rate=audio_sample_rate, seed=seed,
+            mask_image_path=mask_image_path, data_path=data_path, height=height,
+        )
+        latents = self.denoise_all(
+            state, num_inference_steps=num_inference_steps,
+            guidance_scale=guidance_scale, window_batch=window_batch,
+        )
+        return self.finish(state, latents, video_out_path)

@@ -28,15 +28,28 @@ from .artifacts import AvatarStore
 
 class ServingState:
     def __init__(self, pipeline, avatar_store: AvatarStore, out_dir: str,
-                 max_queue: int = 10):
+                 max_queue: int = 10, continuous_batching: bool = False,
+                 batch_windows: int = 8, num_workers: int = 2):
         self.pipeline = pipeline
         self.avatars = avatar_store
         self.out_dir = out_dir
         self.jobs: Dict[str, dict] = {}
         self.queue: "queue.Queue" = queue.Queue(maxsize=max_queue)
         os.makedirs(out_dir, exist_ok=True)
-        self.worker = threading.Thread(target=self._drain, daemon=True)
-        self.worker.start()
+        self.batcher = None
+        if continuous_batching:
+            # windows from concurrent clips share denoise batches
+            # (serving/batcher.py); several job workers keep the batcher fed
+            from .batcher import WindowBatcher, make_denoise_batch_fn
+
+            self.batcher = WindowBatcher(
+                make_denoise_batch_fn(pipeline), max_windows=batch_windows
+            )
+            workers = max(num_workers, 2)
+        else:
+            workers = 1  # the reference's Semaphore(1) semantics
+        for _ in range(workers):
+            threading.Thread(target=self._drain, daemon=True).start()
 
     def submit(self, request: dict) -> dict:
         job_id = request.get("job_id") or uuid.uuid4().hex
@@ -62,20 +75,53 @@ class ServingState:
                     darken=req.get("darken", False),
                 )
                 out_path = os.path.join(self.out_dir, f"{job['job_id']}.mp4")
-                result = self.pipeline(
-                    video_path=avatar.video_path,
-                    audio_path=req["audio_path"],
-                    video_out_path=out_path,
-                    data_path=avatar.bundle_path,
-                    num_inference_steps=req.get("inference_steps", 20),
-                    guidance_scale=req.get("guidance_scale", 1.5),
-                )
+                steps = req.get("inference_steps", 20)
+                guidance = req.get("guidance_scale", 1.5)
+                if self.batcher is not None:
+                    result = self._run_batched(
+                        avatar, req["audio_path"], out_path, steps, guidance
+                    )
+                else:
+                    result = self.pipeline(
+                        video_path=avatar.video_path,
+                        audio_path=req["audio_path"],
+                        video_out_path=out_path,
+                        data_path=avatar.bundle_path,
+                        num_inference_steps=steps,
+                        guidance_scale=guidance,
+                    )
                 job.update(status="completed", output=result.video_path,
                            elapsed=time.time() - t0, timings=result.elapsed)
             except Exception as e:  # noqa: BLE001 — job-level failure isolation
                 traceback.print_exc()
                 job.update(status="failed", error=f"{type(e).__name__}: {e}",
                            elapsed=time.time() - t0)
+
+    def _run_batched(self, avatar, audio_path, out_path, steps, guidance):
+        """Continuous-batched path: this job's windows are submitted to
+        the shared batcher and may share device batches with other jobs'
+        windows. The batcher's compiled denoise uses a fixed (steps,
+        guidance); per-request overrides fall back to the direct path."""
+        import numpy as np
+
+        pipe = self.pipeline
+        state = pipe.prepare(
+            video_path=avatar.video_path, audio_path=audio_path,
+            data_path=avatar.bundle_path,
+        )
+        futures = []
+        for i in range(state.num_windows):
+            futures.append(self.batcher.submit({
+                "latents0": np.asarray(state.latents0[i]),
+                "mask": np.asarray(state.mask_w[i]),
+                "masked": np.asarray(state.masked_lat_w[i]),
+                "ref": np.asarray(state.ref_lat_w[i]),
+                "audio": np.asarray(state.audio_w[i]),
+            }))
+        import jax.numpy as jnp
+
+        latents = jnp.asarray(np.stack([f.result() for f in futures]))
+        return pipe.finish(state, latents, out_path)
 
 
 def make_handler(state: ServingState):
