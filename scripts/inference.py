@@ -50,6 +50,7 @@ def build_pipeline(args, dtype=jnp.bfloat16):
         whisper_cfg, params=whisper_params,
         num_frames=config.data.num_frames,
         audio_feat_length=config.data.audio_feat_length,
+        dtype=dtype,  # bf16 encoder matmuls (the reference runs fp16 on GPU)
     )
 
     # --- VAE ---
