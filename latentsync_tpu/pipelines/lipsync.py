@@ -138,15 +138,16 @@ class LipsyncPipeline:
 
             self._encode_jit["fn"] = enc
         n = images.shape[0]
-        pad = (-n) % chunk if n > chunk else 0
-        if n <= chunk:
-            return self._encode_jit["fn"](self.vae_params, images)[:n]
-        x = jnp.pad(images, ((0, pad), (0, 0), (0, 0), (0, 0)))
+        # pad small batches up to a power-of-two bucket so serving reuses a
+        # handful of compiled programs instead of one per clip length
+        size = min(_bucket(n), chunk) if n <= chunk else chunk
+        pad = (-n) % size
+        x = jnp.pad(images, ((0, pad), (0, 0), (0, 0), (0, 0))) if pad else images
         outs = [
-            self._encode_jit["fn"](self.vae_params, x[i : i + chunk])
-            for i in range(0, n + pad, chunk)
+            self._encode_jit["fn"](self.vae_params, x[i : i + size])
+            for i in range(0, n + pad, size)
         ]
-        return jnp.concatenate(outs, axis=0)[:n]
+        return jnp.concatenate(outs, axis=0)[:n] if len(outs) > 1 else outs[0][:n]
 
     def _vae_decode(self, latents: jnp.ndarray, chunk: int = 64) -> jnp.ndarray:
         if "fn" not in self._decode_jit:
@@ -160,15 +161,14 @@ class LipsyncPipeline:
 
             self._decode_jit["fn"] = dec
         n = latents.shape[0]
-        if n <= chunk:
-            return self._decode_jit["fn"](self.vae_params, latents)[:n]
-        pad = (-n) % chunk
-        z = jnp.pad(latents, ((0, pad), (0, 0), (0, 0), (0, 0)))
+        size = min(_bucket(n), chunk) if n <= chunk else chunk
+        pad = (-n) % size
+        z = jnp.pad(latents, ((0, pad), (0, 0), (0, 0), (0, 0))) if pad else latents
         outs = [
-            self._decode_jit["fn"](self.vae_params, z[i : i + chunk])
-            for i in range(0, n + pad, chunk)
+            self._decode_jit["fn"](self.vae_params, z[i : i + size])
+            for i in range(0, n + pad, size)
         ]
-        return jnp.concatenate(outs, axis=0)[:n]
+        return jnp.concatenate(outs, axis=0)[:n] if len(outs) > 1 else outs[0][:n]
 
     def _denoise_fn(self, num_steps: int, guidance: float, do_cfg: bool):
         key = (num_steps, float(guidance), do_cfg)
@@ -357,6 +357,44 @@ class LipsyncPipeline:
         state.timings["denoise"] = float(time.time() - t0)
         return latents
 
+    @staticmethod
+    def _restore_group(frames, combined, mats, crop_hw, processor):
+        """Batched resize-to-box + inverse-warp + soft composite for frames
+        sharing one crop size: device path on TPU, native C++ path on host,
+        per-frame cv2 as last resort."""
+        from ..utils.native import resize_frames_native, restore_frames_native
+
+        def resize_all():
+            resized = resize_frames_native(combined, crop_hw)
+            if resized is None:
+                import cv2
+
+                resized = np.stack([
+                    cv2.resize(c, crop_hw[::-1], interpolation=cv2.INTER_LANCZOS4)
+                    for c in combined
+                ])
+            return resized
+
+        if jax.default_backend() != "cpu":
+            try:
+                from ..ops.restore import restore_frames_device
+
+                return restore_frames_device(frames, resize_all(), mats)
+            except Exception as e:  # noqa: BLE001 — OOM on huge frames → host path
+                print(f"device restore fell back to host: {type(e).__name__}")
+        out = restore_frames_native(frames, resize_all(), mats)
+        if out is not None:
+            return out
+        import cv2
+
+        out = []
+        for idx in range(len(frames)):
+            face = cv2.resize(
+                combined[idx], crop_hw[::-1], interpolation=cv2.INTER_LANCZOS4
+            )
+            out.append(processor.restorer.restore_img(frames[idx], face, mats[idx]))
+        return np.stack(out)
+
     def finish(
         self, state: JobState, latents: jnp.ndarray, video_out_path: str
     ) -> PipelineOutput:
@@ -388,52 +426,29 @@ class LipsyncPipeline:
         combined = np.asarray(jnp.clip((combined + 1.0) * 127.5, 0, 255).astype(jnp.uint8))
         timings["vae_decode"] = float(time.time() - t0)
 
-        # 7. restore into original frames (ref:lipsync_pipeline.py:343-358)
-        # native fused warp+composite (OpenMP over frames) with cv2 fallback
+        # 7. restore into original frames (ref:lipsync_pipeline.py:343-358):
+        # each decoded face resizes to ITS OWN box (boxes[index]) before the
+        # inverse warp. The repo's own detector emits one constant box per
+        # clip, but precomputed bundles (the production serving path) may
+        # carry real per-frame boxes — so group frames by crop size and run
+        # the batched device/native composite per group (one group in the
+        # common case).
         t0 = time.time()
-        from ..utils.native import resize_frames_native, restore_frames_native
-
-        x1, y1, x2, y2 = boxes[0]
-        crop_hw = (int(y2 - y1), int(x2 - x1))
         mats = np.stack([np.asarray(m, np.float64) for m in matrices[:total]])
-        out_frames = None
-        if jax.default_backend() != "cpu":
-            # TPU path: batched warp+composite on device
-            from ..ops.restore import restore_frames_device
-
-            resized = resize_frames_native(combined, crop_hw)
-            if resized is None:
-                import cv2
-
-                resized = np.stack([
-                    cv2.resize(c, crop_hw[::-1], interpolation=cv2.INTER_LANCZOS4)
-                    for c in combined
-                ])
-            try:
-                out_frames = restore_frames_device(
-                    np.asarray(frames[:total]), resized, mats
-                )
-            except Exception as e:  # noqa: BLE001 — OOM on huge frames → host path
-                print(f"device restore fell back to host: {type(e).__name__}")
-                out_frames = None
-        if out_frames is None:
-            resized = resize_frames_native(combined, crop_hw)
-            if resized is not None:
-                out_frames = restore_frames_native(
-                    np.asarray(frames[:total]), resized, mats
-                )
-        if out_frames is None:
-            import cv2
-
-            out_frames = []
-            for idx in range(total):
-                face = cv2.resize(
-                    combined[idx], crop_hw[::-1], interpolation=cv2.INTER_LANCZOS4
-                )
-                out_frames.append(
-                    processor.restorer.restore_img(frames[idx], face, matrices[idx])
-                )
-            out_frames = np.stack(out_frames)
+        out_frames = np.asarray(frames[:total]).copy()
+        crop_hws = [
+            (int(b[3] - b[1]), int(b[2] - b[0])) for b in boxes[:total]
+        ]
+        groups = {}
+        for idx, hw in enumerate(crop_hws):
+            groups.setdefault(hw, []).append(idx)
+        for crop_hw, idxs in groups.items():
+            idx_arr = np.asarray(idxs)
+            restored = self._restore_group(
+                out_frames[idx_arr], combined[idx_arr], mats[idx_arr],
+                crop_hw, processor,
+            )
+            out_frames[idx_arr] = restored
         timings["restore"] = float(time.time() - t0)
 
         # 8. write + mux (ref:lipsync_pipeline.py:589-604)

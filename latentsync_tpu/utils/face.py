@@ -151,7 +151,12 @@ class AlignRestore:
         h, w = frame.shape[:2]
         inv = cv2.invertAffineTransform(np.asarray(affine_matrix, np.float64))
         restored = cv2.warpAffine(face, inv, (w, h), flags=cv2.INTER_LANCZOS4)
-        mask = np.ones((self.face_size[1], self.face_size[0]), np.float32)
+        # mask covers the pasted face's own extent. The reference hardcodes
+        # self.face_size here (ref:affine_transform.py:92) — identical when
+        # the face is the align output (its only domain), but per-frame-box
+        # bundles resize faces to their own boxes (ref:lipsync_pipeline.py:
+        # 343-350), where a fixed-size mask would blend black borders in.
+        mask = np.ones(face.shape[:2], np.float32)
         inv_mask = cv2.warpAffine(mask, inv, (w, h))
         k = max(int(2 * self.upscale_factor), 1)
         inv_mask = cv2.erode(inv_mask, np.ones((k, k), np.uint8))

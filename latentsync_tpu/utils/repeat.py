@@ -106,3 +106,82 @@ def pad_chunks_to_target(
         [audio_samples, np.zeros(int(pad_sec * audio_sample_rate), audio_samples.dtype)]
     )
     return chunks, audio_samples, pad_sec
+
+
+def add_start_silence(
+    audio_samples: np.ndarray, audio_sample_rate: int, silence_duration: float = 1
+) -> np.ndarray:
+    """Prepend `silence_duration` seconds of zeros
+    (ref:repeat.py:260-287) — serving pairs this with
+    duplicate_first_frames so the model 'warms up' on a silent lead-in
+    that process_video_with_trim later cuts off."""
+    num = int(silence_duration * audio_sample_rate)
+    return np.concatenate(
+        [np.zeros(num, audio_samples.dtype), np.asarray(audio_samples)]
+    )
+
+
+def duplicate_first_frames(array: Arr, num_frames: int = 16) -> Arr:
+    """Prepend a copy of the first `num_frames` entries
+    (ref:repeat.py:290-326). Works on ndarrays and lists."""
+    n = len(array)
+    if n == 0:
+        return array
+    k = min(num_frames, n)
+    if isinstance(array, np.ndarray):
+        return np.concatenate([array[:k].copy(), array], axis=0)
+    return list(array[:k]) + list(array)
+
+
+def process_video_with_trim(
+    temp_dir: str,
+    video_out_path: str,
+    padding_duration: float = 0,
+    fps: float = 25,
+    frames_to_trim: int = 16,
+) -> str:
+    """Cut the first 16 frames (the silent lead-in) plus trailing padding
+    off temp_dir/{video.mp4,audio.wav} and mux to video_out_path
+    (ref:repeat.py:329-368). Uses ffmpeg when present; otherwise trims
+    with the in-repo cv2/scipy media layer."""
+    import os
+
+    from .media import (
+        HAVE_FFMPEG,
+        read_audio,
+        read_video,
+        write_audio,
+        write_video,
+    )
+
+    in_video = os.path.join(temp_dir, "video.mp4")
+    in_audio = os.path.join(temp_dir, "audio.wav")
+    trim_sec = math.ceil(frames_to_trim / fps * 1000) / 1000
+
+    if HAVE_FFMPEG:
+        import subprocess
+
+        trimmed_video = os.path.join(temp_dir, "trimmed_video.mp4")
+        subprocess.run(
+            ["ffmpeg", "-y", "-nostdin", "-v", "error", "-ss", f"{trim_sec}",
+             "-i", in_video, "-c:v", "libx264", "-an", trimmed_video],
+            check=True,
+        )
+        frames = read_video(trimmed_video, change_fps=False)
+    else:
+        frames = read_video(in_video, change_fps=False)[frames_to_trim:]
+    if padding_duration > 0:
+        keep = len(frames) - int(round(padding_duration * fps))
+        frames = frames[:max(keep, 0)]
+
+    sr = 16000
+    audio = read_audio(in_audio, sr)
+    start = int(trim_sec * sr)
+    final_dur = len(frames) / fps
+    audio = audio[start : start + int(final_dur * sr)]
+
+    trimmed_audio = os.path.join(temp_dir, "trimmed_audio.wav")
+    write_audio(trimmed_audio, audio, sr)
+    # write_video muxes via ffmpeg, or writes a sidecar .wav without it
+    write_video(video_out_path, frames, fps=fps, audio_path=trimmed_audio)
+    return video_out_path

@@ -1,0 +1,190 @@
+"""Component-level perf probe for the flagship generation path.
+
+Times the jitted UNet forward, VAE encode/decode, and the full 20-step
+denoise program in isolation on the current backend, pulls XLA's FLOP
+estimate from `compiled.cost_analysis()`, and prints per-component
+MFU against the chip's bf16 peak. This is the profiler-backed FLOP
+audit the round-1 verdict asked for (VERDICT.md weak #1): it tells us
+whether the 25 fps/chip target is an MFU problem or a roofline problem.
+
+Usage:  python -m scripts.perf_probe [--windows 4] [--trace DIR]
+With --trace, additionally captures a jax.profiler trace of one denoise
+call for offline inspection.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# v5e (TPU v5 lite): 197 bf16 TFLOP/s, 394 int8 TOP/s, 819 GB/s HBM
+PEAK_BF16 = {"TPU v5": 197e12, "TPU v4": 275e12, "TPU v6": 918e12}
+
+
+def chip_peak_flops() -> float:
+    d = str(jax.devices()[0])
+    for k, v in PEAK_BF16.items():
+        if k in d:
+            return v
+    return 197e12
+
+
+def time_compiled(fn, args, rounds=5):
+    """Compile, then best-of-N wall time with block_until_ready."""
+    compiled = jax.jit(fn).lower(*args).compile()
+    cost = compiled.cost_analysis()
+    flops = float(cost.get("flops", 0.0)) if cost else 0.0
+    out = compiled(*args)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        jax.block_until_ready(compiled(*args))
+        times.append(time.perf_counter() - t0)
+    return min(times), flops, compiled
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--windows", type=int, default=int(os.environ.get("BENCH_WINDOWS", 4)))
+    ap.add_argument("--trace", type=str, default=None)
+    ap.add_argument("--rounds", type=int, default=5)
+    args = ap.parse_args()
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+    from latentsync_tpu.audio.features import Audio2Feature
+    from latentsync_tpu.config import LatentSyncConfig, WhisperConfig
+    from latentsync_tpu.models.unet3d import UNet3DConditionModel
+    from latentsync_tpu.models.vae import AutoencoderKL
+    from latentsync_tpu.pipelines.lipsync import LipsyncPipeline
+    from latentsync_tpu.utils.params import UNET_ZERO_PATHS, cast_floating, fast_init
+
+    dtype = jnp.bfloat16
+    cfg = LatentSyncConfig()
+    res, f = cfg.data.resolution, cfg.data.num_frames
+    lat = res // cfg.vae.scale_factor
+    steps, guidance = cfg.run.inference_steps, cfg.run.guidance_scale
+    W = args.windows
+    peak = chip_peak_flops()
+
+    unet = UNet3DConditionModel(cfg.unet, dtype=dtype)
+    vae = AutoencoderKL(cfg.vae, dtype=dtype)
+    unet_params = cast_floating(
+        fast_init(
+            lambda s, t, a: unet.init(jax.random.PRNGKey(0), s, t, a),
+            jnp.zeros((1, f, lat, lat, cfg.unet.in_channels)),
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, f, 50, cfg.unet.cross_attention_dim)),
+            zero_paths=UNET_ZERO_PATHS,
+        ),
+        dtype,
+    )
+    vae_params = cast_floating(
+        fast_init(
+            lambda x: vae.init(jax.random.PRNGKey(0), x, jax.random.PRNGKey(1)),
+            jnp.zeros((1, res, res, 3)),
+            seed=1,
+        ),
+        dtype,
+    )
+    pipe = LipsyncPipeline(
+        unet_params, vae_params,
+        audio_encoder=Audio2Feature(WhisperConfig.tiny()),
+        config=cfg, dtype=dtype,
+    )
+
+    rng = np.random.default_rng(0)
+    total = W * f
+    report = {"device": str(jax.devices()[0]), "windows": W, "peak_bf16_tflops": peak / 1e12}
+
+    # --- single UNet forward at the CFG-batched shape (2W, f, lat, lat, 13)
+    b = 2 * W
+    sample = jnp.asarray(rng.standard_normal((b, f, lat, lat, 13)), dtype)
+    tvec = jnp.full((b,), 500, jnp.int32)
+    audio = jnp.asarray(rng.standard_normal((b, f, 50, 384)), dtype)
+    t, fl, _ = time_compiled(
+        lambda p, s, tt, a: unet.apply(p, s, tt, a),
+        (unet_params, sample, tvec, audio), args.rounds,
+    )
+    report["unet_fwd"] = {
+        "time_ms": round(t * 1e3, 2),
+        "tflops": round(fl / 1e12, 3),
+        "mfu": round(fl / t / peak, 3),
+        "tflop_per_frame_20steps": round(fl * steps / (W * f) / 1e12, 3),
+    }
+
+    # --- VAE encode (one window-batch of frames) and decode
+    pix = jnp.asarray(rng.standard_normal((total, res, res, 3)), jnp.float32) * 0.3
+    from latentsync_tpu.models.vae import scale_latents, unscale_latents
+
+    t, fl, _ = time_compiled(
+        lambda p, x: scale_latents(vae.apply(p, x.astype(dtype), method="encode"), cfg.vae),
+        (vae_params, pix), args.rounds,
+    )
+    report["vae_encode"] = {"time_ms": round(t * 1e3, 2), "tflops": round(fl / 1e12, 3),
+                            "mfu": round(fl / t / peak, 3)}
+
+    z = jnp.asarray(rng.standard_normal((total, lat, lat, 4)), jnp.float32)
+    t, fl, _ = time_compiled(
+        lambda p, zz: vae.apply(p, unscale_latents(zz, cfg.vae).astype(dtype), method="decode"),
+        (vae_params, z), args.rounds,
+    )
+    report["vae_decode"] = {"time_ms": round(t * 1e3, 2), "tflops": round(fl / 1e12, 3),
+                            "mfu": round(fl / t / peak, 3)}
+
+    # --- full denoise program (20 steps, CFG)
+    mask = jnp.ones((W, f, lat, lat, 1), jnp.float32)
+    lat4 = jnp.asarray(rng.standard_normal((W, f, lat, lat, 4)), jnp.float32)
+    audio_w = jnp.asarray(rng.standard_normal((W, f, 50, 384)), jnp.float32)
+    denoise = pipe._denoise_fn(steps, guidance, True)
+    dn_args = (pipe.unet_params, lat4, mask, lat4, lat4, audio_w)
+    # denoise is already jitted; time it directly
+    out = denoise(*dn_args)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(args.rounds):
+        t0 = time.perf_counter()
+        jax.block_until_ready(denoise(*dn_args))
+        times.append(time.perf_counter() - t0)
+    t_dn = min(times)
+    unet_fl_total = report["unet_fwd"]["tflops"] * 1e12 * steps
+    report["denoise_20steps"] = {
+        "time_ms": round(t_dn * 1e3, 2),
+        "est_tflops": round(unet_fl_total / 1e12, 2),
+        "mfu_vs_unet_flops": round(unet_fl_total / t_dn / peak, 3),
+        "fps_denoise_only": round(total / t_dn, 2),
+    }
+
+    # --- end-to-end fps (bench.py parity)
+    def generate():
+        ml = pipe._vae_encode(pix * 0.5).reshape(W, f, lat, lat, 4)
+        rl = pipe._vae_encode(pix).reshape(W, f, lat, lat, 4)
+        lo = denoise(pipe.unet_params, lat4, mask, ml, rl, audio_w)
+        return pipe._vae_decode(lo.reshape(total, lat, lat, 4))
+
+    jax.block_until_ready(generate())
+    times = []
+    for _ in range(args.rounds):
+        t0 = time.perf_counter()
+        jax.block_until_ready(generate())
+        times.append(time.perf_counter() - t0)
+    report["e2e"] = {"time_ms": round(min(times) * 1e3, 2),
+                     "fps": round(total / min(times), 2)}
+
+    if args.trace:
+        with jax.profiler.trace(args.trace):
+            jax.block_until_ready(denoise(*dn_args))
+        report["trace_dir"] = args.trace
+
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

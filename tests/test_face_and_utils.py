@@ -110,12 +110,15 @@ def test_image_processor_mask_polarity(rng):
     pix, masked, masks = proc.prepare_masks_and_masked_images(faces)
     assert pix.shape == (3, 64, 64, 3) and masks.shape == (3, 64, 64, 1)
     assert pix.min() >= -1.0 and pix.max() <= 1.0
-    # mouth region (mask==0) must be zeroed in masked image
-    zero_region = masks[0, :, :, 0] < 0.5
+    # mouth region (mask==0) must be zeroed in masked image; the real
+    # mask.png resized by LANCZOS has soft boundary pixels, so test the
+    # strict-zero interior and the strict-one exterior
+    zero_region = masks[0, :, :, 0] == 0.0
     assert zero_region.any()
     assert np.abs(masked[0][zero_region]).max() < 1e-6
     # keep region unchanged
-    keep = masks[0, :, :, 0] > 0.5
+    keep = masks[0, :, :, 0] >= 1.0
+    assert keep.any()
     np.testing.assert_allclose(masked[0][keep], pix[0][keep], atol=1e-6)
 
 
@@ -141,3 +144,61 @@ def test_mixed_noise_statistics():
     flat = n.reshape(4, 16, -1)
     corr = np.corrcoef(flat[0, 0], flat[0, 1])[0, 1]
     assert corr > 0.3
+
+
+def test_fixed_mask_matches_reference_asset(reference_dir):
+    """The vendored mouth-mask asset must be bit-identical to the
+    reference's latentsync/utils/mask.png at 256² — it defines which
+    pixels the UNet regenerates AND is a conditioning channel
+    (ref:image_processor.py:31-36)."""
+    import cv2
+
+    mask = load_fixed_mask(256)
+    ref = cv2.cvtColor(
+        cv2.imread(f"{reference_dir}/latentsync/utils/mask.png"), cv2.COLOR_BGR2RGB
+    ).astype(np.float32) / 255.0
+    assert np.array_equal(mask, ref)
+    # sanity: binary, ~40% of the crop is the regenerate region
+    assert set(np.unique(mask)) == {0.0, 1.0}
+    assert 0.3 < (mask[..., 0] == 0).mean() < 0.5
+
+
+def test_repeat_tail_helpers(tmp_path, rng):
+    """add_start_silence / duplicate_first_frames / process_video_with_trim
+    (ref:repeat.py:260-368): serving prepends a silent 16-frame lead-in
+    that the trim step later removes, keeping A/V in sync."""
+    import cv2
+
+    from latentsync_tpu.utils.media import read_audio, read_video, write_audio
+
+    audio = rng.standard_normal(16000).astype(np.float32) * 0.1
+    padded = lrepeat.add_start_silence(audio, 16000, silence_duration=1)
+    assert len(padded) == 32000 and np.abs(padded[:16000]).max() == 0
+
+    frames = (rng.random((40, 32, 32, 3)) * 255).astype(np.uint8)
+    dup = lrepeat.duplicate_first_frames(frames, 16)
+    assert len(dup) == 56
+    np.testing.assert_array_equal(dup[:16], frames[:16])
+
+    # video with a distinctive first-16-frame lead-in
+    temp = tmp_path / "temp"
+    temp.mkdir()
+    lead = np.zeros((16, 32, 32, 3), np.uint8)
+    body = np.full((24, 32, 32, 3), 200, np.uint8)
+    w = cv2.VideoWriter(str(temp / "video.mp4"),
+                        cv2.VideoWriter_fourcc(*"mp4v"), 25, (32, 32))
+    for fr in np.concatenate([lead, body]):
+        w.write(fr)
+    w.release()
+    write_audio(str(temp / "audio.wav"), np.ones(int(40 / 25 * 16000), np.float32) * 0.1)
+
+    out = lrepeat.process_video_with_trim(str(temp), str(tmp_path / "out.mp4"),
+                                          padding_duration=8 / 25)
+    got = read_video(out, change_fps=False)
+    # 40 - 16 lead-in - 8 padding = 16 frames, all from the bright body
+    assert len(got) == 16
+    assert got.mean() > 150
+    wav = read_audio(str(tmp_path / "out.wav") if not
+                     __import__("latentsync_tpu.utils.media", fromlist=["HAVE_FFMPEG"]).HAVE_FFMPEG
+                     else out, 16000)
+    assert abs(len(wav) - int(16 / 25 * 16000)) <= 640  # within 40ms

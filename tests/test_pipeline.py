@@ -129,3 +129,55 @@ def test_pipeline_precomputed_bundle(tiny_pipeline, tmp_path, rng):
         num_frames=4, num_inference_steps=2, data_path=bundle, height=32,
     )
     assert os.path.isfile(result.video_path)
+
+
+def test_restore_per_frame_boxes(tmp_path, rng):
+    """Production bundles may carry REAL per-frame boxes: each decoded
+    face must resize to ITS OWN box before the inverse warp
+    (ref:lipsync_pipeline.py:343-358 uses boxes[index]). Compare the
+    grouped batched restore against a per-frame cv2 reference composite."""
+    import cv2
+
+    from latentsync_tpu.pipelines.lipsync import LipsyncPipeline
+    from latentsync_tpu.utils.image_processor import ImageProcessor
+
+    n = 6
+    frames = (rng.random((n, 120, 100, 3)) * 200 + 30).astype(np.uint8)
+    # smooth face content: interpolation (LANCZOS cv2 vs bilinear native)
+    # agrees on smooth images, so the comparison isolates placement+mask
+    yy, xx = np.mgrid[0:32, 0:32]
+    base = np.stack([yy * 6, xx * 6, (yy + xx) * 3], axis=-1).astype(np.float32)
+    combined = np.stack([
+        np.clip(base + 20 * i, 0, 255).astype(np.uint8) for i in range(n)
+    ])
+    # three distinct crop sizes across the clip
+    boxes = [[0, 0, 40, 52], [0, 0, 40, 52], [0, 0, 36, 48],
+             [0, 0, 36, 48], [0, 0, 44, 56], [0, 0, 40, 52]]
+    mats = np.stack([
+        np.array([[0.9 + 0.02 * i, 0.0, -(10 + i)], [0.0, 0.9 + 0.02 * i, -8.0]])
+        for i in range(n)
+    ])
+    processor = ImageProcessor(32)
+
+    out = frames.copy()
+    crop_hws = [(int(b[3] - b[1]), int(b[2] - b[0])) for b in boxes]
+    groups = {}
+    for idx, hw in enumerate(crop_hws):
+        groups.setdefault(hw, []).append(idx)
+    assert len(groups) == 3
+    for crop_hw, idxs in groups.items():
+        ia = np.asarray(idxs)
+        out[ia] = LipsyncPipeline._restore_group(
+            out[ia], combined[ia], mats[ia], crop_hw, processor)
+
+    # per-frame reference: resize to own box, restore_img per frame
+    for i in range(n):
+        h, w = crop_hws[i]
+        face = cv2.resize(combined[i], (w, h), interpolation=cv2.INTER_LANCZOS4)
+        ref = processor.restorer.restore_img(frames[i], face, mats[i])
+        diff = np.abs(out[i].astype(int) - ref.astype(int))
+        # same composite up to warp-interpolation differences at edges
+        assert diff.mean() < 3.0, (i, diff.mean())
+        # the face landed: strong diff vs the original frame inside the box
+        inner = ref.astype(int) - frames[i].astype(int)
+        assert np.abs(inner).mean() > 5.0

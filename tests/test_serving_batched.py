@@ -85,17 +85,26 @@ def test_concurrent_clips_continuous_batched(tiny_pipe, tmp_path, rng):
     threading.Thread(target=server.serve_forever, daemon=True).start()
     try:
         job_ids = []
-        for name in ("a", "b"):
+        # two default-config requests plus one with per-request overrides —
+        # the override must get its own (steps, guidance)-keyed batcher
+        # rather than silently inheriting (20, 1.5)
+        payloads = [
+            {"avatar_id": "a", "audio_path": wav},
+            {"avatar_id": "b", "audio_path": wav},
+            {"avatar_id": "a", "audio_path": wav,
+             "inference_steps": 3, "guidance_scale": 2.0},
+        ]
+        for payload in payloads:
             req = urllib.request.Request(
                 f"http://127.0.0.1:{port}/process",
-                data=json.dumps({"avatar_id": name, "audio_path": wav}).encode(),
+                data=json.dumps(payload).encode(),
                 headers={"Content-Type": "application/json"},
             )
             with urllib.request.urlopen(req) as r:
                 job_ids.append(json.loads(r.read())["job_id"])
         results = {}
         deadline = time.time() + 300
-        while len(results) < 2 and time.time() < deadline:
+        while len(results) < len(job_ids) and time.time() < deadline:
             for jid in job_ids:
                 if jid in results:
                     continue
@@ -106,12 +115,15 @@ def test_concurrent_clips_continuous_batched(tiny_pipe, tmp_path, rng):
                 if st["status"] in ("completed", "failed"):
                     results[jid] = st
             time.sleep(0.5)
-        assert len(results) == 2, results
+        assert len(results) == len(job_ids), results
         for jid, st in results.items():
             assert st["status"] == "completed", st
             import os
 
             assert os.path.isfile(st["output"])
+        # override request created a second compiled batcher config
+        assert set(state._batchers) == {(20, 1.5), (3, 2.0)}
     finally:
         server.shutdown()
-        state.batcher.close()
+        for b in state._batchers.values():
+            b.close()
