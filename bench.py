@@ -89,13 +89,19 @@ def main():
         frames = pipe._vae_decode(lat_out.reshape(total, lat, lat, 4))
         return frames
 
+    def sync(x):
+        # through the axon tunnel only a data FETCH synchronizes;
+        # block_until_ready returns immediately (measured in r02) —
+        # fetch one element to drain the execution stream
+        np.asarray(jax.device_get(x.ravel()[:1]))
+
     # warmup / compile
-    generate().block_until_ready()
+    sync(generate())
 
     times = []
     for _ in range(n_rounds):
         t0 = time.perf_counter()
-        generate().block_until_ready()
+        sync(generate())
         times.append(time.perf_counter() - t0)
 
     best = min(times)

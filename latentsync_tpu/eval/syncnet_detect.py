@@ -28,7 +28,7 @@ class SyncNetDetector:
     """(ref:syncnet_detect.py SyncNetDetector.__call__)."""
 
     def __init__(self, face_detector=None, min_track: int = 50,
-                 crop_scale: float = 0.4):
+                 crop_scale: float = 0.4, min_face_size: float = 100.0):
         if face_detector is None:
             from ..utils.face import HaarAnchorDetector
 
@@ -43,39 +43,67 @@ class SyncNetDetector:
         self.detector = face_detector
         self.min_track = min_track
         self.crop_scale = crop_scale
+        self.min_face_size = min_face_size
 
     def extract_tracks(self, frames: np.ndarray) -> List[FaceTrack]:
+        """Shot-split + gap-tolerant IoU stitching
+        (ref:eval/syncnet_detect.py:76-83, 108-148). Shots shorter than
+        min_track are skipped like the reference, except that clips
+        shorter than min_track in TOTAL are still tracked (so short demo
+        clips remain scoreable)."""
         cuts = [0] + detect_shots(frames) + [len(frames)]
+        short_clip = len(frames) <= self.min_track
         tracks: List[FaceTrack] = []
         for s in range(len(cuts) - 1):
             shot = frames[cuts[s]:cuts[s + 1]]
+            if len(shot) < self.min_track and not short_clip:
+                continue  # ref:81 skips sub-min_track shots
             dets = [self.detector.detect(fr) for fr in shot]
-            for tr in iou_tracking(dets, min_track=min(self.min_track, len(shot))):
+            for tr in iou_tracking(
+                dets,
+                min_track=min(self.min_track, max(len(shot) - 1, 1)),
+                num_failed_det=25,
+                min_face_size=0 if short_clip else self.min_face_size,
+            ):
                 boxes = np.asarray(tr["boxes"], np.float32)
-                # temporal median smoothing of box size/center
-                if len(boxes) >= 5:
-                    from scipy.signal import medfilt
-
-                    for c in range(4):
-                        boxes[:, c] = medfilt(boxes[:, c], kernel_size=5)
                 tracks.append(FaceTrack(
                     frames=[f + cuts[s] for f in tr["frames"]], boxes=boxes))
         return tracks
 
     def crop_track(self, frames: np.ndarray, track: FaceTrack,
                    size: int = 224) -> np.ndarray:
+        """Reference crop geometry (ref:eval/syncnet_detect.py:169-206):
+        median-smoothed (k=13) box size/center, constant-110 padding, and
+        the asymmetric y-crop [cy−s, cy+s(1+2c)] × x-crop [cx−s(1+c),
+        cx+s(1+c)] that includes the chin."""
         import cv2
 
+        from scipy.signal import medfilt
+
+        b = track.boxes
+        s_arr = np.maximum(b[:, 3] - b[:, 1], b[:, 2] - b[:, 0]) / 2.0
+        x_arr = (b[:, 0] + b[:, 2]) / 2.0
+        y_arr = (b[:, 1] + b[:, 3]) / 2.0
+        k = min(13, len(b) - (1 - len(b) % 2))
+        if k >= 3:
+            s_arr = medfilt(s_arr, kernel_size=k)
+            x_arr = medfilt(x_arr, kernel_size=k)
+            y_arr = medfilt(y_arr, kernel_size=k)
+        cs = self.crop_scale
         crops = []
-        for fi, box in zip(track.frames, track.boxes):
-            x1, y1, x2, y2 = box
-            cx, cy = (x1 + x2) / 2, (y1 + y2) / 2
-            half = max(x2 - x1, y2 - y1) / 2 * (1 + self.crop_scale)
-            h, w = frames[fi].shape[:2]
-            xa, xb = int(max(cx - half, 0)), int(min(cx + half, w))
-            ya, yb = int(max(cy - half, 0)), int(min(cy + half, h))
-            crop = frames[fi][ya:yb, xa:xb]
-            crops.append(cv2.resize(crop, (size, size)))
+        for i, fi in enumerate(track.frames):
+            bs = s_arr[i]
+            bsi = int(bs * (1 + 2 * cs))
+            padded = np.pad(
+                frames[fi], ((bsi, bsi), (bsi, bsi), (0, 0)),
+                "constant", constant_values=110,
+            )
+            my, mx = y_arr[i] + bsi, x_arr[i] + bsi
+            face = padded[
+                int(my - bs): int(my + bs * (1 + 2 * cs)),
+                int(mx - bs * (1 + cs)): int(mx + bs * (1 + cs)),
+            ]
+            crops.append(cv2.resize(face, (size, size)))
         return np.stack(crops)
 
     def __call__(self, video_path: str, out_dir: Optional[str] = None):

@@ -71,6 +71,37 @@ class QueueWorker:
     tts_fn: Optional[Callable[[Dict], str]] = None       # job → audio path
     upload_fn: Optional[Callable[[str, Dict], str]] = None  # path → url
     status_listeners: List[Callable[[Dict], None]] = field(default_factory=list)
+    # dynamic-clip post-processing hooks (ref:index.ts:220-246)
+    transcriber: Optional[Callable[[str], List[Dict]]] = None  # audio → segments
+    row_logger: Optional[object] = None      # helpers.RowLogger
+    idle_shutdown: Optional[object] = None   # helpers.IdleShutdown
+
+    def _postprocess(self, job: Dict, output: str) -> Dict:
+        """Dynamic-clip tail (ref:index.ts:220-246): concat this clip after
+        its dependencies' outputs, then generate subtitles for the result."""
+        from . import helpers
+
+        extra: Dict = {}
+        concat_ids = job.get("concat_with") or []
+        if concat_ids:
+            parts = []
+            for dep_id in concat_ids:
+                dep = self.queue.get(dep_id)
+                if not dep or not dep.get("output"):
+                    raise RuntimeError(f"concat dependency {dep_id} has no output")
+                parts.append(dep["output"])
+            parts.append(output)
+            merged = os.path.splitext(output)[0] + "_concat.mp4"
+            helpers.concat_videos(parts, merged)
+            output = merged
+            extra["concatenated"] = True
+        if job.get("subtitles") and self.transcriber is not None:
+            audio_src = job.get("audio_path") or output
+            uri = helpers.generate_subtitles(audio_src, self.transcriber)
+            if uri:
+                extra["subtitles_uri"] = uri
+        extra["output"] = output
+        return extra
 
     def _notify(self, job: Dict) -> None:
         for listener in self.status_listeners:
@@ -91,7 +122,8 @@ class QueueWorker:
             self.queue.update(job_id, status="pending")
             job["status"] = "pending"
 
-        self.queue.update(job_id, status="running", started=time.time())
+        job["started"] = time.time()
+        self.queue.update(job_id, status="running", started=job["started"])
         self._notify({**job, "status": "running"})
         try:
             audio_path = job.get("audio_path")
@@ -122,13 +154,24 @@ class QueueWorker:
             if api_job["status"] != "completed":
                 raise RuntimeError(api_job.get("error", "inference failed"))
             output = api_job["output"]
+            extra = self._postprocess(job, output)
+            output = extra.pop("output")
             url = self.upload_fn(output, job) if self.upload_fn else output
             self.queue.update(job_id, status="completed", output=url,
-                              finished=time.time())
-            self._notify({**job, "status": "completed", "output": url})
+                              finished=time.time(), **extra)
+            self._notify({**job, "status": "completed", "output": url, **extra})
+            if self.row_logger is not None:  # BQ hook (ref:helpers/bq.ts)
+                self.row_logger.insert_rows("latentsync", "jobs", [{
+                    "job_id": job_id, "status": "completed", "output": url,
+                    "elapsed": time.time() - job.get("started", time.time()),
+                }])
         except Exception as e:  # noqa: BLE001 — per-job isolation
             self.queue.update(job_id, status="failed", error=str(e))
             self._notify({**job, "status": "failed", "error": str(e)})
+            if self.row_logger is not None:
+                self.row_logger.insert_rows("latentsync", "jobs", [{
+                    "job_id": job_id, "status": "failed", "error": str(e),
+                }])
 
     def run_once(self) -> int:
         jobs = self.queue.pending()
@@ -138,7 +181,9 @@ class QueueWorker:
 
     def run_forever(self):
         while True:
-            self.run_once()
+            n = self.run_once()
+            if self.idle_shutdown is not None:
+                self.idle_shutdown.tick(n)  # GCE cost control (ref:compute.ts)
             time.sleep(self.poll_interval)
 
 

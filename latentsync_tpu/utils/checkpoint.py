@@ -50,3 +50,33 @@ def restore_checkpoint(path: str, template: Dict[str, Any]) -> Dict[str, Any]:
         with np.load(aux_path, allow_pickle=True) as f:
             restored["aux"] = {k: f[k] for k in f.files}
     return restored
+
+
+def save_pytree(path: str, tree) -> None:
+    """Flat .npz pytree serialization ('/'-joined key paths) — the
+    lightweight sibling of the Orbax checkpoints above, used for
+    converted detector/eval weights."""
+    import jax
+    import numpy as np
+
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    arrays = {
+        "/".join(str(getattr(p, "key", p)) for p in kp): np.asarray(leaf)
+        for kp, leaf in flat
+    }
+    np.savez(path, **arrays)
+
+
+def load_pytree(path: str):
+    """Inverse of save_pytree: .npz → nested dict."""
+    import numpy as np
+
+    out: Dict[str, Any] = {}
+    with np.load(path) as data:
+        for key in data.files:
+            node = out
+            parts = key.split("/")
+            for part in parts[:-1]:
+                node = node.setdefault(part, {})
+            node[parts[-1]] = data[key]
+    return out

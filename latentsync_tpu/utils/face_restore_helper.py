@@ -86,7 +86,18 @@ class FaceRestoreHelper:
             lms = [lm5]
         else:
             lm = self.landmark_detector(image_rgb)
-            lms = [five_from_68(np.asarray(lm))] if lm is not None else []
+            lm = np.asarray(lm) if lm is not None else None
+            if lm is None or lm.size == 0:
+                lms = []
+            elif lm.ndim == 2 and lm.shape[1] == 15:
+                # detector rows (x1,y1,x2,y2,conf, 5·(lx,ly)) — RetinaFace /
+                # YOLOv5-face style, possibly multiple faces
+                # (ref:face_restoration_helper.py:196-240 get_face_landmarks_5)
+                lms = [row[5:15].reshape(5, 2).astype(np.float32) for row in lm]
+            elif lm.ndim == 2 and lm.shape == (5, 2):
+                lms = [lm.astype(np.float32)]
+            else:
+                lms = [five_from_68(lm)]
 
         faces = []
         for lm5 in lms:

@@ -26,6 +26,41 @@ from .face import AlignRestore, HaarAnchorDetector, LandmarkSmoother, landmarks6
 
 _DEFAULT_MASK_PATH = os.path.join(os.path.dirname(__file__), "assets", "mask.png")
 
+# mediapipe canonical face-mesh topology indices (numerical contracts,
+# ref:image_processor.py:194-264 & the mediapipe_face_landmark_fullsize
+# chart): the 68-point face-alignment subset of the 478 mesh points, and
+# the polygon rings around the mouth / lower face used by the mouth/face
+# mask modes.
+LANDMARK_POINTS_68 = [
+    162, 234, 93, 58, 172, 136, 149, 148, 152, 377, 378, 365, 397, 288,
+    323, 454, 389, 71, 63, 105, 66, 107, 336, 296, 334, 293, 301, 168,
+    197, 5, 4, 75, 97, 2, 326, 305, 33, 160, 158, 133, 153, 144, 362,
+    385, 387, 263, 373, 380, 61, 39, 37, 0, 267, 269, 291, 405, 314, 17,
+    84, 181, 78, 82, 13, 312, 308, 317, 14, 87,
+]
+
+MOUTH_SURROUND_LANDMARKS = [
+    164, 165, 167, 92, 186, 57, 43, 106, 182, 83, 18, 313, 406, 335,
+    273, 287, 410, 322, 391, 393,
+]
+
+FACE_SURROUND_LANDMARKS = [
+    152, 377, 400, 378, 379, 365, 397, 288, 435, 433, 411, 425, 423,
+    327, 326, 94, 97, 98, 203, 205, 187, 213, 215, 58, 172, 136, 150,
+    149, 176, 148,
+]
+
+# nose-bridge point whose y-row splits the face for the "eye" mode
+# (ref:image_processor.py:104-108)
+EYE_SPLIT_LANDMARK = 195
+
+
+def mediapipe_lm478_to_lm68(lm478: np.ndarray) -> np.ndarray:
+    """(478, 2+) mediapipe mesh → (68, 2) face-alignment landmarks
+    (ref:image_processor.py:180-191). Accepts pixel coordinates."""
+    lm478 = np.asarray(lm478)
+    return lm478[LANDMARK_POINTS_68, :2].astype(np.float64)
+
 
 def load_fixed_mask(resolution: int, mask_image_path: Optional[str] = None) -> np.ndarray:
     """Fixed mouth mask as (H, W, 3) float in [0,1]
@@ -54,6 +89,47 @@ def _generated_mouth_mask(resolution: int) -> np.ndarray:
     return np.repeat(m[:, :, None], 3, axis=2)
 
 
+_warned_fallback = False
+
+
+def default_landmark_detector():
+    """Model-based landmark detection as the default quality path
+    (ref:image_processor.py:61-63 binds 2D-FAN): a FAN detector (plus
+    optional S3FD face-box stage) when converted weights are present at
+    $LATENTSYNC_FAN_CKPT / $LATENTSYNC_S3FD_CKPT (.npz pytrees from
+    scripts/convert or .pth via convert_fan), with the Haar-box heuristic
+    demoted to an explicit, warned fallback."""
+    global _warned_fallback
+    fan_path = os.environ.get("LATENTSYNC_FAN_CKPT", "checkpoints/2dfan4.npz")
+    if os.path.isfile(fan_path):
+        from ..models.face_detection import FANLandmarkDetector, S3FD, S3FDDetector
+        from .checkpoint import load_pytree
+        from .convert import load_torch_state_dict
+
+        if fan_path.endswith((".pth", ".pt")):
+            from .convert_eval import convert_fan
+
+            fan_params = convert_fan(load_torch_state_dict(fan_path)[0])
+        else:
+            fan_params = load_pytree(fan_path)
+        face_det = None
+        s3fd_path = os.environ.get("LATENTSYNC_S3FD_CKPT", "checkpoints/s3fd.npz")
+        if os.path.isfile(s3fd_path):
+            face_det = S3FDDetector(load_pytree(s3fd_path))
+        return FANLandmarkDetector(fan_params, face_detector=face_det)
+    if not _warned_fallback:
+        _warned_fallback = True
+        import warnings
+
+        warnings.warn(
+            "no FAN landmark checkpoint found (set LATENTSYNC_FAN_CKPT); "
+            "falling back to the Haar-box anchor heuristic — alignment "
+            "quality will be box-level only",
+            stacklevel=2,
+        )
+    return HaarAnchorDetector()
+
+
 class ImageProcessor:
     """Face crop + mask preparation (ref:image_processor.py:39-174).
 
@@ -67,7 +143,12 @@ class ImageProcessor:
         mask: str = "fix_mask",
         mask_image: Optional[np.ndarray] = None,
         landmark_detector=None,
+        face_mesh=None,
     ):
+        """`face_mesh`: callable image → (478, 2) mesh landmarks in pixel
+        coords, required by the mouth/face/eye modes (the reference binds
+        mediapipe FaceMesh here, ref:image_processor.py:48-49; any
+        478-point source works — e.g. precomputed arrays)."""
         self.resolution = resolution
         self.mask = mask
         if mask == "fix_mask":
@@ -79,14 +160,17 @@ class ImageProcessor:
         self.smoother = LandmarkSmoother()
         self.restorer = AlignRestore()
         self.landmark_detector = landmark_detector
+        self.face_mesh = face_mesh
 
     # -- geometry -----------------------------------------------------------
 
     def detect_anchor3(self, image_rgb: np.ndarray) -> np.ndarray:
         if self.landmark_detector is None:
-            self.landmark_detector = HaarAnchorDetector()
+            self.landmark_detector = default_landmark_detector()
         res = self.landmark_detector(image_rgb)
         res = np.asarray(res)
+        if res.shape[0] == 478:  # mediapipe-style mesh (ref:image_processor.py:124-126)
+            res = mediapipe_lm478_to_lm68(res)
         if res.shape[0] == 68:
             res = landmarks68_to_anchor3(self.smoother(res))
         return res
@@ -120,14 +204,45 @@ class ImageProcessor:
             ]
         )
 
-    def prepare_masks_and_masked_images(self, faces: np.ndarray):
+    def _landmark_mask(self, face: np.ndarray, lm478: Optional[np.ndarray]) -> np.ndarray:
+        """Per-frame KEEP mask for the landmark-driven modes
+        (ref:image_processor.py:83-108): mouth/face fill the surround
+        polygon with 0; eye zeroes everything below the nose-bridge row."""
+        if lm478 is None:
+            if self.face_mesh is None:
+                raise ValueError(
+                    f"mask mode {self.mask!r} needs 478-point landmarks: pass "
+                    "landmarks478 or construct ImageProcessor(face_mesh=...)"
+                )
+            lm478 = np.asarray(self.face_mesh(face))
+        lm478 = np.asarray(lm478)
+        mask = np.ones((self.resolution, self.resolution), np.float32)
+        if self.mask in ("mouth", "face"):
+            ring = (MOUTH_SURROUND_LANDMARKS if self.mask == "mouth"
+                    else FACE_SURROUND_LANDMARKS)
+            points = lm478[ring, :2].astype(np.int32)
+            cv2.fillPoly(mask, pts=[points], color=0.0)
+        elif self.mask == "eye":
+            y = int(lm478[EYE_SPLIT_LANDMARK][1])
+            mask[max(y, 0):, :] = 0.0
+        else:
+            raise ValueError(f"unknown mask mode {self.mask!r}")
+        return mask
+
+    def prepare_masks_and_masked_images(
+        self, faces: np.ndarray, landmarks478: Optional[np.ndarray] = None
+    ):
         """(F, H, W, 3) uint8 → (pixel_values, masked_pixel_values, masks)
         float32. Masks use KEEP polarity (1 = keep original, 0 = mouth
         region to regenerate), exactly the mask.png convention:
         masked = pixel · mask (ref:image_processor.py:145-152), the UNet's
         mask channel receives this same map (ref:lipsync_pipeline.py:517),
         and paste-back composites decoded·(1-mask) + original·mask
-        (ref:lipsync_pipeline.py:572-574 passes `1 - masks`)."""
+        (ref:lipsync_pipeline.py:572-574 passes `1 - masks`).
+
+        landmarks478: optional (F, 478, 2) pixel-coord mesh landmarks for
+        the mouth/face/eye modes (mediapipe-compatible; any 478-point
+        source)."""
         faces = self.resize_batch(faces)
         pixel_values = self.normalize(faces)
         if self.mask == "fix_mask":
@@ -140,7 +255,15 @@ class ImageProcessor:
             masked = pixel_values * keep
             masks = keep[..., :1]
         else:
-            raise ValueError(f"mask mode {self.mask} needs landmarks; not supported here")
+            per_frame = np.stack([
+                self._landmark_mask(
+                    faces[i],
+                    None if landmarks478 is None else landmarks478[i],
+                )
+                for i in range(len(faces))
+            ])[..., None]  # (F, H, W, 1)
+            masked = pixel_values * per_frame
+            masks = per_frame
         masks = np.broadcast_to(masks, pixel_values.shape[:3] + (1,))
         return pixel_values, masked, np.ascontiguousarray(masks)
 

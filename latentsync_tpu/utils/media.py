@@ -75,6 +75,27 @@ def probe(path: str) -> dict:
     }
 
 
+def count_video_time(path: str) -> float:
+    """Video duration in seconds (ref:latentsync/utils/util.py
+    count_video_time; used by tools/count_*_time.py)."""
+    info = probe(path)
+    dur = float(info.get("format", {}).get("duration", 0) or 0)
+    if dur:
+        return dur
+    _, _, fps, nb = video_info(path)
+    return nb / fps if fps else 0.0
+
+
+def gather_video_paths_recursively(input_dir: str, exts=(".mp4", ".avi", ".mov", ".mkv")):
+    """Sorted recursive video listing (ref:latentsync/utils/util.py:328-341)."""
+    out = []
+    for root, _, files in os.walk(input_dir):
+        for name in files:
+            if os.path.splitext(name)[1].lower() in exts:
+                out.append(os.path.join(root, name))
+    return sorted(out)
+
+
 def video_info(path: str) -> Tuple[int, int, float, int]:
     """(width, height, fps, nb_frames-estimate)."""
     info = probe(path)

@@ -20,15 +20,30 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from latentsync_tpu.models.perceptual import I3DFeatures, compute_fvd
+    from latentsync_tpu.models.i3d import InceptionI3D, convert_i3d
+    from latentsync_tpu.models.perceptual import compute_fvd
     from latentsync_tpu.utils.media import read_video
     from latentsync_tpu.utils.params import fast_init
 
-    model = I3DFeatures()
-    params = fast_init(
-        lambda v: model.init(jax.random.PRNGKey(0), v),
-        jnp.zeros((1, args.num_frames, args.size, args.size, 3)),
-    )
+    # real Kinetics-400 I3D (ref:eval/fvd.py:28-36); converted weights via
+    # $LATENTSYNC_I3D_CKPT make the numbers comparable to the reference,
+    # random init still yields a consistent relative metric within a run
+    model = InceptionI3D()
+    ckpt = os.environ.get("LATENTSYNC_I3D_CKPT", "checkpoints/i3d.npz")
+    if os.path.isfile(ckpt):
+        if ckpt.endswith((".pt", ".pth")):
+            from latentsync_tpu.utils.convert import load_torch_state_dict
+
+            params = convert_i3d(load_torch_state_dict(ckpt)[0])
+        else:
+            from latentsync_tpu.utils.checkpoint import load_pytree
+
+            params = load_pytree(ckpt)
+    else:
+        params = fast_init(
+            lambda v: model.init(jax.random.PRNGKey(0), v),
+            jnp.zeros((1, args.num_frames, args.size, args.size, 3)),
+        )
     fn = jax.jit(lambda p, v: model.apply(p, v))
 
     import cv2

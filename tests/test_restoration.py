@@ -101,10 +101,14 @@ def test_gan_loss_modes():
 def test_syncnet_detector_tracks(rng):
     from latentsync_tpu.eval.syncnet_detect import SyncNetDetector
 
-    frames = (rng.random((30, 120, 100, 3)) * 60 + 100).astype(np.uint8)
-    det = SyncNetDetector(min_track=10)
+    # static scene (random per-frame noise would cut a shot at every
+    # frame, and sub-min_track shots are skipped like the reference)
+    frame = (rng.random((120, 100, 3)) * 60 + 100).astype(np.uint8)
+    frames = np.repeat(frame[None], 30, axis=0)
+    det = SyncNetDetector(min_track=10, min_face_size=0)  # tiny test frame
     tracks = det.extract_tracks(frames)
     assert len(tracks) >= 1  # static-heuristic box persists across frames
+    assert len(tracks[0].frames) == 30  # gap-filled full-length track
     crops = det.crop_track(frames, tracks[0], size=64)
     assert crops.shape[1:] == (64, 64, 3)
 
