@@ -106,6 +106,24 @@ def main():
 
     best = min(times)
     fps = total / best
+
+    stage_ms = {}
+    if os.environ.get("BENCH_DETAIL"):
+        # per-stage split (each stage fetch-synced; adds fetches, so the
+        # headline number above is measured separately)
+        t0 = time.perf_counter()
+        masked_lat = pipe._vae_encode(masked_pix).reshape(W, f, lat, lat, 4)
+        ref_lat = pipe._vae_encode(pixels).reshape(W, f, lat, lat, 4)
+        sync(ref_lat)
+        stage_ms["vae_encode"] = round((time.perf_counter() - t0) * 1e3, 1)
+        t0 = time.perf_counter()
+        lat_out = denoise(pipe.unet_params, latents0, mask, masked_lat, ref_lat, audio)
+        sync(lat_out)
+        stage_ms["denoise_20steps"] = round((time.perf_counter() - t0) * 1e3, 1)
+        t0 = time.perf_counter()
+        frames = pipe._vae_decode(lat_out.reshape(total, lat, lat, 4))
+        sync(frames)
+        stage_ms["vae_decode"] = round((time.perf_counter() - t0) * 1e3, 1)
     print(json.dumps({
         "metric": "frames_per_sec_per_chip_256px_20steps",
         "value": round(fps, 2),
@@ -113,6 +131,7 @@ def main():
         "vs_baseline": round(fps / 25.0, 3),
         "detail": {
             "windows": W, "times_s": [round(t, 3) for t in times],
+            **({"stage_ms": stage_ms} if stage_ms else {}),
             "p50_latency_5s_clip_s": round((125 / fps) * 1.0, 3),
             "device": str(jax.devices()[0]),
         },

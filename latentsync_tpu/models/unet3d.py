@@ -90,6 +90,49 @@ def group_norm_5d(x, groups, eps, name, dtype=jnp.float32):
     return nn.GroupNorm(groups, epsilon=eps, dtype=dtype, name=name)(x)
 
 
+class FusedGroupNorm(nn.Module):
+    """GroupNorm (+ optionally fused SiLU) routed through the Pallas
+    GN kernels on TPU (ops/groupnorm.py) — stats + normalize + act in
+    one HBM round trip instead of XLA's f32-materializing chain.
+
+    Param tree is identical to nn.GroupNorm ({scale, bias}) so weight
+    converters and checkpoints are unaffected. `sample_axes` gives how
+    many leading axes index independent statistics samples: 1 → torch 5D
+    GroupNorm semantics (stats across F·H·W, ref:resnet.py:21-29), 2 →
+    per-frame stats (transformer norms, ref:attention.py:86-91).
+
+    Default path is plain XLA math: measured end-to-end (bench r02,
+    docs/perf_audit.md), XLA input-fuses the normalize+SiLU into the
+    consuming conv, so the Pallas kernels — 1.7-2.8× faster *standalone*
+    — cost ~15 ms/fwd in context by forcing an extra HBM round trip at
+    the fusion boundary. LATENTSYNC_PALLAS_GN=1 opts into the kernels
+    (for re-measurement on future hardware/compilers)."""
+
+    groups: int = 32
+    eps: float = 1e-5
+    silu: bool = False
+    sample_axes: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        import os
+
+        from ..ops.groupnorm import _reference, group_norm_silu_auto
+
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        rows = int(np.prod(x.shape[self.sample_axes:-1]))
+        fn = (
+            group_norm_silu_auto
+            if os.environ.get("LATENTSYNC_PALLAS_GN") == "1"
+            else _reference
+        )
+        y = fn(x.reshape(-1, c), scale, bias, self.groups, rows,
+               eps=self.eps, silu=self.silu)
+        return y.reshape(x.shape)
+
+
 class ResnetBlock3D(nn.Module):
     """(ref:resnet.py:104-223). Plain GroupNorm (cross-frame stats)."""
 
@@ -104,8 +147,8 @@ class ResnetBlock3D(nn.Module):
     @nn.compact
     def __call__(self, x, temb):
         in_ch = x.shape[-1]
-        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=jnp.float32, name="norm1")(x)
-        h = nn.silu(h).astype(self.dtype)
+        h = FusedGroupNorm(self.groups, self.eps, silu=True, name="norm1")(x)
+        h = h.astype(self.dtype)
         h = InflatedConv(self.out_channels, dtype=self.dtype, name="conv1")(h)
 
         if temb is not None:
@@ -118,13 +161,14 @@ class ResnetBlock3D(nn.Module):
         if temb is not None and self.time_embedding_norm == "default":
             h = h + t
 
-        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=jnp.float32, name="norm2")(h)
-
-        if temb is not None and self.time_embedding_norm == "scale_shift":
+        if self.time_embedding_norm == "scale_shift" and temb is not None:
+            h = FusedGroupNorm(self.groups, self.eps, silu=False, name="norm2")(h)
             scale, shift = jnp.split(t, 2, axis=-1)
             h = h * (1 + scale) + shift
-
-        h = nn.silu(h).astype(self.dtype)
+            h = nn.silu(h.astype(jnp.float32)).astype(self.dtype)
+        else:
+            h = FusedGroupNorm(self.groups, self.eps, silu=True, name="norm2")(h)
+            h = h.astype(self.dtype)
         h = InflatedConv(self.out_channels, dtype=self.dtype, name="conv2")(h)
 
         if in_ch != self.out_channels:
@@ -137,12 +181,18 @@ class ResnetBlock3D(nn.Module):
 
 class CrossAttention(nn.Module):
     """diffusers-style attention (ref:attention.py:202-280): unbiased
-    q/k/v projections, biased output projection, f32 softmax."""
+    q/k/v projections, biased output projection, f32 softmax.
+
+    `temporal=True` routes self-attention through the fused Pallas
+    small-sequence kernel (ops/temporal_attention.py) — same math, one
+    VMEM-resident program instead of transposes + HBM logits."""
 
     query_dim: int
     heads: int
     dim_head: int
     cross_attention_dim: Optional[int] = None
+    temporal: bool = False
+    spatial: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -153,11 +203,20 @@ class CrossAttention(nn.Module):
         k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
         v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
         b, sq, _ = q.shape
-        sk = k.shape[1]
-        q = q.reshape(b, sq, self.heads, self.dim_head)
-        k = k.reshape(b, sk, self.heads, self.dim_head)
-        v = v.reshape(b, sk, self.heads, self.dim_head)
-        o = dot_product_attention(q, k, v).reshape(b, sq, inner)
+        if self.temporal and context is x:
+            from ..ops.temporal_attention import temporal_attention
+
+            o = temporal_attention(q, k, v, self.heads)
+        elif self.spatial and context is x:
+            from ..ops.temporal_attention import spatial_attention
+
+            o = spatial_attention(q, k, v, self.heads)
+        else:
+            sk = k.shape[1]
+            q = q.reshape(b, sq, self.heads, self.dim_head)
+            k = k.reshape(b, sk, self.heads, self.dim_head)
+            v = v.reshape(b, sk, self.heads, self.dim_head)
+            o = dot_product_attention(q, k, v).reshape(b, sq, inner)
         return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out_0")(o)
 
 
@@ -191,7 +250,7 @@ class BasicTransformerBlock(nn.Module):
     def __call__(self, x, audio_context=None):
         h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
         x = x + CrossAttention(self.dim, self.heads, self.dim_head,
-                               dtype=self.dtype, name="attn1")(h)
+                               spatial=True, dtype=self.dtype, name="attn1")(h)
         if self.add_audio_layer and audio_context is not None:
             h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
             x = x + CrossAttention(
@@ -222,7 +281,7 @@ class SpatialTransformer(nn.Module):
         inner = self.heads * self.dim_head
         x2 = x.reshape(b * f, hh, ww, c)
         residual = x2
-        h = nn.GroupNorm(self.norm_groups, epsilon=1e-6, dtype=jnp.float32, name="norm")(x2)
+        h = FusedGroupNorm(self.norm_groups, 1e-6, silu=False, name="norm")(x2)
         h = nn.Conv(inner, (1, 1), dtype=self.dtype, name="proj_in")(h.astype(self.dtype))
         h = h.reshape(b * f, hh * ww, inner)
 
@@ -279,7 +338,7 @@ class TemporalAttention(nn.Module):
             pe = interleaved_positional_encoding(self.max_len, h.shape[-1])
             h = h + jnp.asarray(pe[:video_length], h.dtype)
         return CrossAttention(self.dim, self.heads, self.dim_head,
-                              dtype=self.dtype, name="attn")(h)
+                              temporal=True, dtype=self.dtype, name="attn")(h)
 
 
 class TemporalModule(nn.Module):
@@ -301,7 +360,7 @@ class TemporalModule(nn.Module):
 
         x2 = x.reshape(b * f, hh, ww, c)
         residual = x2
-        h = nn.GroupNorm(self.norm_groups, epsilon=1e-6, dtype=jnp.float32, name="norm")(x2)
+        h = FusedGroupNorm(self.norm_groups, 1e-6, silu=False, name="norm")(x2)
         h = h.reshape(b * f, hh * ww, c).astype(self.dtype)
         h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(h)
 
@@ -576,9 +635,9 @@ class UNet3DConditionModel(nn.Module):
             )(x, block_skips, emb, encoder_hidden_states)
 
         # out (ref:unet.py:231-241,463-466)
-        x = nn.GroupNorm(cfg.norm_num_groups, epsilon=cfg.norm_eps,
-                         dtype=jnp.float32, name="conv_norm_out")(x)
-        x = nn.silu(x).astype(self.dtype)
+        x = FusedGroupNorm(cfg.norm_num_groups, cfg.norm_eps, silu=True,
+                           name="conv_norm_out")(x)
+        x = x.astype(self.dtype)
         x = InflatedConv(
             cfg.out_channels, dtype=self.dtype, zero_init=True, name="conv_out"
         )(x)

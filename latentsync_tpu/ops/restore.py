@@ -61,6 +61,10 @@ def _gaussian_blur(x: jnp.ndarray, ksize: int) -> jnp.ndarray:
 @functools.partial(jax.jit, static_argnames=("frame_hw", "edge"))
 def _restore_kernel(frames, faces, matrices, frame_hw: Tuple[int, int], edge: int):
     h, w = frame_hw
+    # inputs arrive uint8 (host↔device transfer is 4× cheaper than f32 —
+    # the dominant cost for 1080p frame batches); compute in f32
+    frames = frames.astype(jnp.float32)
+    faces = faces.astype(jnp.float32)
     warped = warp_affine_batch(faces, matrices, (h, w), fill=0.0)
     fh, fw = faces.shape[1:3]
     ones = jnp.ones(faces.shape[:1] + (fh, fw, 1), jnp.float32)
@@ -113,8 +117,8 @@ def restore_frames_device(
         sl = slice(i, min(i + chunk, n))
         m = sl.stop - sl.start
         pad = chunk - m
-        fr = frames[sl].astype(np.float32)
-        fc = faces[sl].astype(np.float32)
+        fr = frames[sl]
+        fc = faces[sl]
         mt = inv_m[sl].astype(np.float32)
         if pad:
             fr = np.concatenate([fr, np.repeat(fr[-1:], pad, 0)])

@@ -375,7 +375,12 @@ class LipsyncPipeline:
                 ])
             return resized
 
-        if jax.default_backend() != "cpu":
+        # LATENTSYNC_RESTORE=device|native|cv2 forces a path; default: the
+        # device composite when an accelerator is attached (on remote-
+        # tunneled devices the host-native path can win — transfers
+        # dominate there, not compute)
+        prefer = os.environ.get("LATENTSYNC_RESTORE", "device")
+        if prefer == "device" and jax.default_backend() != "cpu":
             try:
                 from ..ops.restore import restore_frames_device
 

@@ -11,6 +11,8 @@ Re-derivations of the reference's loss toolkit:
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -81,3 +83,43 @@ def r1_penalty(disc_fn, params, real, rng=None):
 
     grads = jax.grad(score)(real)
     return jnp.mean(jnp.sum(grads**2, axis=tuple(range(1, grads.ndim))))
+
+
+def gradient_penalty_loss(disc_fn, params, real, fake, rng):
+    """WGAN-GP interpolated gradient penalty
+    (ref:basicsr/losses/losses.py gradient_penalty_loss): unit-norm
+    target on ∇D at random interpolates of real/fake."""
+    alpha_shape = (real.shape[0],) + (1,) * (real.ndim - 1)
+    alpha = jax.random.uniform(rng, alpha_shape)
+    interp = alpha * real + (1.0 - alpha) * fake
+
+    def score(x):
+        return jnp.sum(disc_fn(params, x))
+
+    grads = jax.grad(score)(interp)
+    norms = jnp.sqrt(
+        jnp.sum(grads**2, axis=tuple(range(1, grads.ndim))) + 1e-12
+    )
+    return jnp.mean((norms - 1.0) ** 2)
+
+
+def g_path_regularize(fake_img, latents_grad_fn, mean_path_length,
+                      decay: float = 0.01, rng=None):
+    """StyleGAN2 path-length regularization
+    (ref:basicsr/losses/losses.py g_path_regularize): noise-weighted
+    generator Jacobian norm pulled toward its running mean.
+
+    `latents_grad_fn(noise_weighted_grad_seed)` must return
+    d(sum(fake·noise))/d(latents); in JAX the caller provides it via
+    jax.grad over its generator apply — kept as a callback so this
+    helper stays model-agnostic."""
+    noise = jax.random.normal(rng, fake_img.shape) / math.sqrt(
+        fake_img.shape[1] * fake_img.shape[2]
+    )
+    grad = latents_grad_fn(noise)
+    path_lengths = jnp.sqrt(
+        jnp.mean(jnp.sum(grad**2, axis=tuple(range(1, grad.ndim))))
+    )
+    path_mean = mean_path_length + decay * (path_lengths - mean_path_length)
+    penalty = (path_lengths - path_mean) ** 2
+    return penalty, path_lengths, path_mean

@@ -43,6 +43,7 @@ MODEL_REGISTRY = Registry("model")
 DATASET_REGISTRY = Registry("dataset")
 LOSS_REGISTRY = Registry("loss")
 METRIC_REGISTRY = Registry("metric")
+SCHEDULER_REGISTRY = Registry("scheduler")
 
 
 def register_builtin():
@@ -75,6 +76,15 @@ def register_builtin():
     for name, obj in [("psnr", psnr), ("ssim", ssim)]:
         if name not in METRIC_REGISTRY:
             METRIC_REGISTRY.register(obj, name)
+    from .lr_schedules import cosine_annealing_restart_lr, multistep_restart_lr
+
+    for name, obj in [
+        # basicsr option-file type names (ref:options/*.yml scheduler.type)
+        ("MultiStepRestartLR", multistep_restart_lr),
+        ("CosineAnnealingRestartLR", cosine_annealing_restart_lr),
+    ]:
+        if name not in SCHEDULER_REGISTRY:
+            SCHEDULER_REGISTRY.register(obj, name)
 
 
 def build_from_options(registry: Registry, opt: Dict[str, Any]):

@@ -106,6 +106,50 @@ def main():
             iters=args.iters,
         )
 
+    if which in ("all", "spat"):
+        # A/B the three spatial self-attn lowerings at the UNet's shapes
+        from latentsync_tpu.ops.attention import oneshot_attention
+        from latentsync_tpu.ops.temporal_attention import (
+            spatial_attention, temporal_attention,
+        )
+
+        for s, c, heads in ((1024, 320, 8), (256, 640, 8)):
+            d = c // heads
+            q = jnp.asarray(rng.standard_normal((bf, s, c)), dt)
+            fl = 2 * 2 * bf * heads * s * s * d
+            bench_loop(
+                f"spat_lane_sliced_S{s}_C{c}",
+                lambda y: spatial_attention(y, y, y, heads).astype(dt), q, fl,
+                iters=args.iters,
+            )
+
+            def via_oneshot(y, heads=heads, d=d, s=s):
+                b = y.shape[0]
+                yh = y.reshape(b, s, heads, d)
+                yt = jnp.swapaxes(yh, 1, 2).reshape(b * heads, s, d)
+                o = oneshot_attention(yt, yt, yt)
+                o = jnp.swapaxes(o.reshape(b, heads, s, d), 1, 2)
+                return o.reshape(b, s, heads * d)
+
+            bench_loop(f"spat_oneshot_transposed_S{s}_C{c}", via_oneshot, q, fl,
+                       iters=args.iters)
+
+            def via_flash(y, heads=heads, d=d, s=s):
+                b = y.shape[0]
+                yh = y.reshape(b, s, heads, d)
+                return dot_product_attention(yh, yh, yh).reshape(b, s, heads * d)
+
+            bench_loop(f"spat_flash_S{s}_C{c}", via_flash, q, fl,
+                       iters=args.iters)
+
+        q = jnp.asarray(rng.standard_normal((2 * W * 1024, 16, 320)), dt)
+        fl = 2 * 2 * (2 * W * 1024) * 8 * 16 * 16 * 40
+        bench_loop(
+            "temporal_fused_F16_C320",
+            lambda y: temporal_attention(y, y, y, 8).astype(dt), q, fl,
+            iters=args.iters,
+        )
+
     if which in ("all", "conv"):
         for hw, c in ((32, 320), (16, 640), (8, 1280)):
             x = jnp.asarray(rng.standard_normal((bf, hw, hw, c)), dt)
@@ -134,6 +178,65 @@ def main():
                 f"gn_silu_xla_{hw}_{c}",
                 lambda y: jax.nn.silu(m.apply(sc, y)).astype(dt), xf, fl,
                 iters=args.iters,
+            )
+
+    if which in ("all", "gn2"):
+        # XLA GroupNorm+SiLU vs the streaming Pallas kernel at the
+        # UNet's cross-frame shape (rows = F·H·W per sample)
+        import flax.linen as nn
+
+        from latentsync_tpu.ops.groupnorm import group_norm_silu_streaming
+
+        for hw, c in ((32, 320), (16, 640), (8, 1280)):
+            rows = 16 * hw * hw
+            xf = jnp.asarray(rng.standard_normal((2 * W * rows, c)), dt)
+            sc = jnp.ones((c,), jnp.float32)
+            bi = jnp.zeros((c,), jnp.float32)
+            fl = 10 * xf.size
+            m = nn.GroupNorm(32, epsilon=1e-5, dtype=jnp.float32)
+            mp = {"params": {"scale": sc, "bias": bi}}
+            bench_loop(
+                f"gn_xla_crossframe_{hw}_{c}",
+                lambda y, rows=rows, c=c: jax.nn.silu(
+                    m.apply(mp, y.reshape(-1, rows, c))
+                ).astype(dt).reshape(-1, c),
+                xf, fl, iters=args.iters,
+            )
+            bench_loop(
+                f"gn_pallas_stream_{hw}_{c}",
+                lambda y, rows=rows: group_norm_silu_streaming(
+                    y, sc, bi, 32, rows, block_rows=min(rows, 2048)
+                ).astype(dt),
+                xf, fl, iters=args.iters,
+            )
+
+    if which in ("all", "gn3"):
+        # per-frame GN (transformer norms): XLA vs the single-block kernel
+        import flax.linen as nn
+
+        from latentsync_tpu.ops.groupnorm import group_norm_silu
+
+        for hw, c in ((32, 320), (16, 640), (8, 1280)):
+            rows = hw * hw
+            xf = jnp.asarray(rng.standard_normal((bf * rows, c)), dt)
+            sc = jnp.ones((c,), jnp.float32)
+            bi = jnp.zeros((c,), jnp.float32)
+            fl = 10 * xf.size
+            m = nn.GroupNorm(32, epsilon=1e-6, dtype=jnp.float32)
+            mp = {"params": {"scale": sc, "bias": bi}}
+            bench_loop(
+                f"gnpf_xla_{hw}_{c}",
+                lambda y, rows=rows, c=c: m.apply(
+                    mp, y.reshape(-1, rows, c)
+                ).astype(dt).reshape(-1, c),
+                xf, fl, iters=args.iters,
+            )
+            bench_loop(
+                f"gnpf_pallas_{hw}_{c}",
+                lambda y, rows=rows: group_norm_silu(
+                    y, sc, bi, 32, rows, eps=1e-6, silu=False
+                ).astype(dt),
+                xf, fl, iters=args.iters,
             )
 
     if which in ("all", "unet", "ablate"):

@@ -7,7 +7,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from latentsync_tpu.ops.groupnorm import group_norm_silu
+from latentsync_tpu.ops.groupnorm import group_norm_silu, group_norm_silu_streaming
 
 
 def test_matches_flax_groupnorm_silu(rng):
@@ -23,6 +23,36 @@ def test_matches_flax_groupnorm_silu(rng):
     ref = nn.silu(gn.apply(params, x.reshape(n_samples, rows, c)))
     ref = np.asarray(ref).reshape(n_samples * rows, c)
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=2e-5)
+
+
+def test_streaming_matches_flax_groupnorm_silu(rng):
+    """Two-phase streaming kernel (large cross-frame samples that do not
+    fit one VMEM block) == flax GroupNorm + SiLU."""
+    n_samples, rows, c, groups = 2, 64, 32, 4
+    x = jnp.asarray(rng.standard_normal((n_samples * rows, c)).astype(np.float32))
+    scale = jnp.asarray(rng.standard_normal(c).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal(c).astype(np.float32))
+
+    out = group_norm_silu_streaming(
+        x, scale, bias, groups, rows, block_rows=16, interpret=True
+    )
+
+    gn = nn.GroupNorm(groups, epsilon=1e-5)
+    params = {"params": {"scale": scale, "bias": bias}}
+    ref = nn.silu(gn.apply(params, x.reshape(n_samples, rows, c)))
+    ref = np.asarray(ref).reshape(n_samples * rows, c)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=2e-5)
+
+
+def test_streaming_bf16_dtype(rng):
+    x = jnp.asarray(rng.standard_normal((32, 32)).astype(np.float32)).astype(jnp.bfloat16)
+    out = group_norm_silu_streaming(
+        x, jnp.ones(32), jnp.zeros(32), groups=4, rows_per_sample=16,
+        block_rows=8, interpret=True,
+    )
+    assert out.dtype == jnp.bfloat16
+    o = np.asarray(out, np.float32)
+    assert np.isfinite(o).all()
 
 
 def test_no_silu_and_bf16(rng):
