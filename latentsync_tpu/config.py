@@ -215,6 +215,10 @@ class DataConfig:
     val_audio_path: str = ""
     train_output_dir: str = ""
     num_workers: int = 0
+    # SyncNet latent-space mode: visual tower eats VAE latents instead of
+    # pixels (ref:configs/syncnet/syncnet_16_latent.yaml, train_syncnet.py:69-74)
+    latent_space: bool = False
+    num_val_samples: int = 2048
 
 
 @dataclass(frozen=True)

@@ -402,7 +402,10 @@ class CodeFormer(nn.Module):
 
     def __call__(self, x, w: float = 0.0, adain: bool = False, code_only: bool = False):
         enc_taps = tuple(self.FUSE_ENCODER[f] for f in self.connect_list)
-        z, tapped = self.encoder(x, taps=enc_taps)
+        if enc_taps:
+            z, tapped = self.encoder(x, taps=enc_taps)
+        else:  # no fuse connects (e.g. reduced test configs): plain encode
+            z, tapped = self.encoder(x), {}
         enc_feats = {
             f: tapped[self.FUSE_ENCODER[f]] for f in self.connect_list
         }

@@ -101,12 +101,15 @@ class FusedGroupNorm(nn.Module):
     GroupNorm semantics (stats across F·H·W, ref:resnet.py:21-29), 2 →
     per-frame stats (transformer norms, ref:attention.py:86-91).
 
-    Default path is plain XLA math: measured end-to-end (bench r02,
-    docs/perf_audit.md), XLA input-fuses the normalize+SiLU into the
-    consuming conv, so the Pallas kernels — 1.7-2.8× faster *standalone*
-    — cost ~15 ms/fwd in context by forcing an extra HBM round trip at
-    the fusion boundary. LATENTSYNC_PALLAS_GN=1 opts into the kernels
-    (for re-measurement on future hardware/compilers)."""
+    This module is the Pallas path only; use the `gn_silu` helper at
+    call sites — it defaults to plain flax nn.GroupNorm (+ silu), which
+    XLA input-fuses into the consuming conv and is the fastest measured
+    in context (bench r02, docs/perf_audit.md): the Pallas kernels are
+    1.7-2.8× faster *standalone* but ~15 ms/fwd slower in-model because
+    the opaque pallas_call boundary forces an extra HBM round trip, and
+    a hand-rolled (..., g, c/g) jnp reduction is ~12% slower end-to-end
+    (c/g = 10 lanes). LATENTSYNC_PALLAS_GN=1 opts the model into these
+    kernels for re-measurement on future hardware/compilers."""
 
     groups: int = 32
     eps: float = 1e-5
@@ -115,22 +118,32 @@ class FusedGroupNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        import os
-
-        from ..ops.groupnorm import _reference, group_norm_silu_auto
+        from ..ops.groupnorm import group_norm_silu_auto
 
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         rows = int(np.prod(x.shape[self.sample_axes:-1]))
-        fn = (
-            group_norm_silu_auto
-            if os.environ.get("LATENTSYNC_PALLAS_GN") == "1"
-            else _reference
+        y = group_norm_silu_auto(
+            x.reshape(-1, c), scale, bias, self.groups, rows,
+            eps=self.eps, silu=self.silu,
         )
-        y = fn(x.reshape(-1, c), scale, bias, self.groups, rows,
-               eps=self.eps, silu=self.silu)
         return y.reshape(x.shape)
+
+
+def gn_silu(x, groups, eps, name, silu=False):
+    """GroupNorm (+ optional SiLU) with the measured-fastest lowering:
+    flax nn.GroupNorm by default, FusedGroupNorm kernels under
+    LATENTSYNC_PALLAS_GN=1 (same param tree either way — {name}/{scale,
+    bias}). Statistics span all non-batch axes of `x`, so callers pick
+    per-frame vs cross-frame semantics by the shape they pass (4D
+    frame-folded vs 5D)."""
+    import os
+
+    if os.environ.get("LATENTSYNC_PALLAS_GN") == "1":
+        return FusedGroupNorm(groups, eps, silu=silu, name=name)(x)
+    y = nn.GroupNorm(groups, epsilon=eps, dtype=jnp.float32, name=name)(x)
+    return nn.silu(y) if silu else y
 
 
 class ResnetBlock3D(nn.Module):
@@ -147,7 +160,7 @@ class ResnetBlock3D(nn.Module):
     @nn.compact
     def __call__(self, x, temb):
         in_ch = x.shape[-1]
-        h = FusedGroupNorm(self.groups, self.eps, silu=True, name="norm1")(x)
+        h = gn_silu(x, self.groups, self.eps, name="norm1", silu=True)
         h = h.astype(self.dtype)
         h = InflatedConv(self.out_channels, dtype=self.dtype, name="conv1")(h)
 
@@ -162,12 +175,12 @@ class ResnetBlock3D(nn.Module):
             h = h + t
 
         if self.time_embedding_norm == "scale_shift" and temb is not None:
-            h = FusedGroupNorm(self.groups, self.eps, silu=False, name="norm2")(h)
+            h = gn_silu(h, self.groups, self.eps, name="norm2", silu=False)
             scale, shift = jnp.split(t, 2, axis=-1)
             h = h * (1 + scale) + shift
             h = nn.silu(h.astype(jnp.float32)).astype(self.dtype)
         else:
-            h = FusedGroupNorm(self.groups, self.eps, silu=True, name="norm2")(h)
+            h = gn_silu(h, self.groups, self.eps, name="norm2", silu=True)
             h = h.astype(self.dtype)
         h = InflatedConv(self.out_channels, dtype=self.dtype, name="conv2")(h)
 
@@ -281,7 +294,7 @@ class SpatialTransformer(nn.Module):
         inner = self.heads * self.dim_head
         x2 = x.reshape(b * f, hh, ww, c)
         residual = x2
-        h = FusedGroupNorm(self.norm_groups, 1e-6, silu=False, name="norm")(x2)
+        h = gn_silu(x2, self.norm_groups, 1e-6, name="norm")
         h = nn.Conv(inner, (1, 1), dtype=self.dtype, name="proj_in")(h.astype(self.dtype))
         h = h.reshape(b * f, hh * ww, inner)
 
@@ -360,7 +373,7 @@ class TemporalModule(nn.Module):
 
         x2 = x.reshape(b * f, hh, ww, c)
         residual = x2
-        h = FusedGroupNorm(self.norm_groups, 1e-6, silu=False, name="norm")(x2)
+        h = gn_silu(x2, self.norm_groups, 1e-6, name="norm")
         h = h.reshape(b * f, hh * ww, c).astype(self.dtype)
         h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(h)
 
@@ -635,8 +648,8 @@ class UNet3DConditionModel(nn.Module):
             )(x, block_skips, emb, encoder_hidden_states)
 
         # out (ref:unet.py:231-241,463-466)
-        x = FusedGroupNorm(cfg.norm_num_groups, cfg.norm_eps, silu=True,
-                           name="conv_norm_out")(x)
+        x = gn_silu(x, cfg.norm_num_groups, cfg.norm_eps,
+                    name="conv_norm_out", silu=True)
         x = x.astype(self.dtype)
         x = InflatedConv(
             cfg.out_channels, dtype=self.dtype, zero_init=True, name="conv_out"

@@ -85,6 +85,11 @@ def register_builtin():
     ]:
         if name not in SCHEDULER_REGISTRY:
             SCHEDULER_REGISTRY.register(obj, name)
+    from .degradations import FFHQBlindSource
+
+    if "FFHQBlindDataset" not in DATASET_REGISTRY:
+        # basicsr dataset type name (ref:options/CodeFormer_stage2.yml:10)
+        DATASET_REGISTRY.register(FFHQBlindSource, "FFHQBlindDataset")
 
 
 def build_from_options(registry: Registry, opt: Dict[str, Any]):
