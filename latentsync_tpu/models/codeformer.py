@@ -160,8 +160,11 @@ class BlockStack(nn.Module):
             elif kind == "up":
                 x = Upsample(dtype=self.dtype, name=name)(x)
             elif kind == "norm":
-                x = _gn(name=name)(x)
-                x = swish(x).astype(self.dtype)
+                # bare GroupNorm before the final conv — the reference
+                # applies NO activation here (ref:vqgan_arch.py:264-266,
+                # 314-316 run blocks sequentially with no swish between
+                # normalize and the output conv)
+                x = _gn(name=name)(x).astype(self.dtype)
             # skips tap and fuse injections run AFTER block i
             # (ref:codeformer_arch.py:228-230, :273-277)
             if injections and i in injections:
@@ -367,7 +370,13 @@ class CodeFormer(nn.Module):
 
     FUSE_ENCODER = {"512": 2, "256": 5, "128": 8, "64": 11, "32": 14, "16": 18}
     FUSE_GENERATOR = {"16": 6, "32": 9, "64": 12, "128": 15, "256": 18, "512": 21}
-    CHANNELS = {"16": 512, "32": 256, "64": 256, "128": 128, "256": 128, "512": 64}
+    # fuse channels per f_size as nf multiples — ×64 reproduces the
+    # reference's hardcoded dict (ref:codeformer_arch.py:194-201)
+    CHANNEL_MULT = {"16": 8, "32": 4, "64": 4, "128": 2, "256": 2, "512": 1}
+
+    @property
+    def CHANNELS(self):
+        return {f: self.nf * m for f, m in self.CHANNEL_MULT.items()}
 
     def setup(self):
         self.latent_hw = self.img_size // 2 ** (len(self.ch_mult) - 1)

@@ -355,6 +355,56 @@ def convert_unet(
     return {"params": params}
 
 
+def convert_stable_syncnet(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """stable_syncnet.pt state dict → StableSyncNet params.
+
+    Torch naming (ref:latentsync/models/stable_syncnet.py):
+    {audio,visual}_encoder.{conv_in,norm_out}.* and
+    .down_blocks.{i}.<resnet: norm1/conv1/norm2/conv2/conv_shortcut/
+    downsample_conv | attn: norm1/conv_in/norm2/attn.to_{q,k,v}/
+    attn.to_out.0/norm3/ff.net.0.proj/ff.net.2/conv_out>.*
+    down_blocks indexes resnets AND attention blocks interleaved, which
+    the flax model mirrors as down_blocks_{i} (models/syncnet.py:129-140).
+    """
+    params: Dict[str, Any] = {}
+    unmapped = []
+    for key, w in sd.items():
+        if not (key.endswith(".weight") or key.endswith(".bias")):
+            continue
+        base, leaf = key.rsplit(".", 1)
+        parts = base.split(".")
+        enc = parts[0]
+        if enc not in ("audio_encoder", "visual_encoder"):
+            unmapped.append(key)
+            continue
+        if parts[1] == "down_blocks":
+            mod = f"down_blocks_{parts[2]}"
+            rest = parts[3:]
+            if rest[0] == "attn":
+                name = "attn_to_out" if rest[1] == "to_out" else f"attn_{rest[1]}"
+                path = (enc, mod, name)
+            elif rest[0] == "ff":
+                path = (enc, mod, "ff",
+                        "net_0_proj" if rest[2] == "0" else "net_2")
+            else:
+                path = (enc, mod, rest[0])
+        else:
+            path = (enc, parts[1])
+        if leaf == "weight":
+            if w.ndim == 4:
+                w, name = _conv2d(w), "kernel"
+            elif w.ndim == 2:
+                w, name = _linear(w), "kernel"
+            else:
+                name = "scale"  # GroupNorm / LayerNorm affine
+        else:
+            name = "bias"
+        _set(params, path + (name,), w)
+    if unmapped:
+        raise ValueError(f"unmapped StableSyncNet keys: {unmapped[:10]}")
+    return {"params": params}
+
+
 def merge_params(init_params: Dict, loaded: Dict) -> Dict:
     """Overlay loaded params onto an init tree (missing keys keep their
     init values — mirrors strict=False loading, ref:unet.py:505)."""

@@ -1,0 +1,102 @@
+"""Activation-level parity of the VQGAN autoencoder vs an independent
+PyTorch implementation through convert_codeformer — extends the
+converter's bijection test (tests/test_convert_codeformer.py) with
+numerical evidence for the block-list layout: ResBlock (shortcut named
+conv_out upstream), single-head 1×1-conv AttnBlock, asymmetric-pad
+Downsample, nearest VectorQuantizer straight-through, and the bare
+GroupNorm blocks whose keys are rank-disambiguated.
+"""
+
+import numpy as np
+import torch
+
+import jax.numpy as jnp
+
+from latentsync_tpu.models.codeformer import VQAutoEncoder
+from latentsync_tpu.utils.convert_codeformer import convert_codeformer
+
+from torch_ref_models import TorchVQAutoEncoder, randomize_
+
+
+def test_vqgan_autoencoder_parity():
+    img, nf, ch_mult, emb, K = 32, 8, (1, 2), 16, 16
+    t = TorchVQAutoEncoder(img_size=img, nf=nf, ch_mult=ch_mult,
+                           res_blocks=2, attn_resolutions=(16,),
+                           codebook_size=K, emb_dim=emb)
+    randomize_(t, seed=5)
+    t.eval()
+
+    f = VQAutoEncoder(img_size=img, nf=nf, ch_mult=ch_mult, res_blocks=2,
+                      attn_resolutions=(16,), codebook_size=K, emb_dim=emb)
+    params = convert_codeformer(
+        {k: v.detach().numpy() for k, v in t.state_dict().items()}
+    )
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, (2, img, img, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        t_out = t(torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))).numpy()
+    f_out, _, _ = f.apply(params, jnp.asarray(x))
+    f_out = np.transpose(np.asarray(f_out), (0, 3, 1, 2))
+
+    np.testing.assert_allclose(f_out, t_out, atol=5e-4, rtol=5e-4)
+
+
+def test_vqgan_converter_covers_all_params():
+    import jax
+
+    t = TorchVQAutoEncoder()
+    params = convert_codeformer(
+        {k: v.detach().numpy() for k, v in t.state_dict().items()}
+    )
+    f = VQAutoEncoder(img_size=32, nf=8, ch_mult=(1, 2), res_blocks=2,
+                      attn_resolutions=(16,), codebook_size=16, emb_dim=16)
+    init = f.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    got = {"/".join(str(k) for k in p) for p, _ in
+           jax.tree_util.tree_flatten_with_path(params)[0]}
+    want = {"/".join(str(k) for k in p) for p, _ in
+            jax.tree_util.tree_flatten_with_path(init)[0]}
+    assert got == want
+
+
+def test_codeformer_full_parity():
+    """Full CodeFormer: encoder taps → transformer head (packed-qkv
+    MultiheadAttention vs split Dense) → argmax codebook lookup →
+    generator with fuse-SFT injections at w=0.5."""
+    from latentsync_tpu.models.codeformer import CodeFormer
+    from torch_ref_models import TorchCodeFormer
+
+    kw = dict(img_size=512, nf=2, ch_mult=(1, 2, 2, 4, 4, 8), emb_dim=8,
+              codebook_size=16, dim_embd=16, n_head=2, n_layers=2,
+              connect_list=("32", "64", "128", "256"))
+    t = TorchCodeFormer(**kw)
+    randomize_(t, seed=11)
+    t.eval()
+
+    f = CodeFormer(dim_embd=16, n_head=2, n_layers=2, codebook_size=16,
+                   latent_size=256, connect_list=kw["connect_list"],
+                   img_size=512, nf=2, ch_mult=kw["ch_mult"], emb_dim=8)
+    params = convert_codeformer(
+        {k: v.detach().numpy() for k, v in t.state_dict().items()}
+    )
+
+    rng = np.random.default_rng(3)
+    x = rng.uniform(-1, 1, (1, 512, 512, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        t_out, t_logits, t_lq = t(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))),
+                                  w=0.5)
+    f_out, f_logits, f_lq = f.apply(params, jnp.asarray(x), w=0.5)
+
+    np.testing.assert_allclose(
+        np.asarray(f_lq), np.transpose(t_lq.numpy(), (0, 2, 3, 1)),
+        atol=5e-4, rtol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(f_logits), t_logits.numpy(), atol=5e-4, rtol=5e-4)
+    # identical code selection (argmax) — a prerequisite for output parity
+    assert (np.asarray(jnp.argmax(f_logits, -1)) ==
+            t_logits.numpy().argmax(-1)).all()
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(f_out), (0, 3, 1, 2)), t_out.numpy(),
+        atol=5e-3, rtol=5e-3)

@@ -1,0 +1,97 @@
+"""Activation-level parity of StableSyncNet vs an independent PyTorch
+implementation (tests/torch_ref_models.py) through the
+convert_stable_syncnet weight converter — same pattern as
+tests/test_parity_unet_vae.py.
+
+Covers the structural hazards specific to this model: interleaved
+resnet/attention down_blocks indexing, the asymmetric stride-2 padding
+(ref:stable_syncnet.py:104-109, incl. the [2,1]/[1,2] tuple factors of
+the real configs), biased q/k/v attention, GEGLU FF key layout
+(ff.net.0.proj / ff.net.2), and the final GN→ReLU→L2-normalize head.
+"""
+
+import numpy as np
+import torch
+
+import jax.numpy as jnp
+
+from latentsync_tpu.config import SyncNetConfig, SyncNetEncoderConfig
+from latentsync_tpu.models.syncnet import StableSyncNet
+from latentsync_tpu.utils.convert import convert_stable_syncnet
+
+from torch_ref_models import StableSyncNet as TStableSyncNet, randomize_
+
+
+def test_stable_syncnet_parity():
+    # small but structurally complete: attention block, channel change
+    # (conv_shortcut), an asymmetric (1,2) factor — and factors that
+    # reduce spatial to exactly 1×1, because the torch flatten is
+    # channel-major while flax's is spatial-major (they only agree on a
+    # 1×1 map, which every real config produces)
+    aud = dict(in_channels=1, block_out_channels=(32, 64, 64),
+               downsample_factors=(2, 2, 4), attn_blocks=(0, 1, 0))
+    vis = dict(in_channels=6, block_out_channels=(32, 64, 64),
+               downsample_factors=((1, 2), 4, 4), attn_blocks=(0, 1, 0))
+
+    tmodel = TStableSyncNet(
+        (aud["in_channels"], list(aud["block_out_channels"]),
+         [list(f) if isinstance(f, tuple) else f for f in aud["downsample_factors"]],
+         list(aud["attn_blocks"])),
+        (vis["in_channels"], list(vis["block_out_channels"]),
+         [list(f) if isinstance(f, tuple) else f for f in vis["downsample_factors"]],
+         list(vis["attn_blocks"])),
+    )
+    randomize_(tmodel, seed=7)
+    tmodel.eval()
+
+    cfg = SyncNetConfig(
+        audio_encoder=SyncNetEncoderConfig(**aud),
+        visual_encoder=SyncNetEncoderConfig(**vis),
+    )
+    fmodel = StableSyncNet(cfg)
+    params = convert_stable_syncnet(
+        {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    )
+
+    rng = np.random.default_rng(0)
+    frames = rng.standard_normal((2, 16, 32, 6)).astype(np.float32)
+    mels = rng.standard_normal((2, 16, 16, 1)).astype(np.float32)
+
+    with torch.no_grad():
+        tv, ta = tmodel(
+            torch.from_numpy(np.transpose(frames, (0, 3, 1, 2))),
+            torch.from_numpy(np.transpose(mels, (0, 3, 1, 2))),
+        )
+    fv, fa = fmodel.apply(params, jnp.asarray(frames), jnp.asarray(mels))
+
+    np.testing.assert_allclose(np.asarray(fv), tv.numpy(), atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(fa), ta.numpy(), atol=2e-4, rtol=2e-4)
+
+
+def test_stable_syncnet_converter_covers_all_params():
+    """Converted tree covers exactly the init tree (no silently-missing
+    leaves that merge_params would paper over)."""
+    import jax
+
+    aud = dict(in_channels=1, block_out_channels=(32, 64),
+               downsample_factors=(2, 2), attn_blocks=(0, 1))
+    cfg = SyncNetConfig(
+        audio_encoder=SyncNetEncoderConfig(**aud),
+        visual_encoder=SyncNetEncoderConfig(**aud, ),
+    )
+    # build the matching torch model to produce a full state dict
+    t = TStableSyncNet(
+        (1, [32, 64], [2, 2], [0, 1]),
+        (1, [32, 64], [2, 2], [0, 1]),
+    )
+    params = convert_stable_syncnet(
+        {k: v.detach().numpy() for k, v in t.state_dict().items()}
+    )
+    f = StableSyncNet(cfg)
+    init = f.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 1)),
+                  jnp.zeros((1, 16, 16, 1)))
+    got = {"/".join(str(k) for k in p) for p, _ in
+           jax.tree_util.tree_flatten_with_path(params)[0]}
+    want = {"/".join(str(k) for k in p) for p, _ in
+            jax.tree_util.tree_flatten_with_path(init)[0]}
+    assert got == want

@@ -538,3 +538,382 @@ def randomize_(model: nn.Module, seed: int = 0, scale: float = 0.2):
         for p in model.parameters():
             p.copy_(torch.randn(p.shape, generator=g) * scale)
     return model
+
+
+# ---------------------------------------------------------------------------
+# StableSyncNet (ref:latentsync/models/stable_syncnet.py)
+# ---------------------------------------------------------------------------
+
+
+class SyncResnetBlock2D(nn.Module):
+    """ResnetBlock2D with the asymmetric stride-2 downsample padding
+    (ref:stable_syncnet.py:65-133)."""
+
+    def __init__(self, cin, cout, factor=2, groups=32):
+        super().__init__()
+        import math as _m
+
+        self.norm1 = nn.GroupNorm(_m.gcd(groups, cin), cin, eps=1e-6)
+        self.conv1 = nn.Conv2d(cin, cout, 3, padding=1)
+        self.norm2 = nn.GroupNorm(_m.gcd(groups, cout), cout, eps=1e-6)
+        self.conv2 = nn.Conv2d(cout, cout, 3, padding=1)
+        self.conv_shortcut = nn.Conv2d(cin, cout, 1) if cin != cout else None
+        f = tuple(factor) if isinstance(factor, (list, tuple)) else (factor, factor)
+        self.factor = f
+        if f != (1, 1):
+            self.downsample_conv = nn.Conv2d(cout, cout, 3, stride=f, padding=0)
+            # (left, right, top, bottom)
+            self.pad = (0, 1, 0, 1)
+            if f[0] == 1:
+                self.pad = (0, 1, 1, 1)
+            elif f[1] == 1:
+                self.pad = (1, 1, 0, 1)
+        else:
+            self.downsample_conv = None
+
+    def forward(self, x):
+        h = self.conv1(F.silu(self.norm1(x)))
+        h = self.conv2(F.silu(self.norm2(h)))
+        if self.conv_shortcut is not None:
+            x = self.conv_shortcut(x)
+        h = h + x
+        if self.downsample_conv is not None:
+            h = F.pad(h, self.pad)
+            h = self.downsample_conv(h)
+        return h
+
+
+class SyncAttentionBlock2D(nn.Module):
+    """(ref:stable_syncnet.py:136-169): biased MHA + GEGLU FF."""
+
+    def __init__(self, dim, groups=32):
+        super().__init__()
+        import math as _m
+
+        self.norm1 = nn.GroupNorm(_m.gcd(groups, dim), dim, eps=1e-6)
+        self.norm2 = nn.LayerNorm(dim)
+        self.norm3 = nn.LayerNorm(dim)
+        self.ff = FeedForward(dim)
+        self.conv_in = nn.Conv2d(dim, dim, 1)
+        self.conv_out = nn.Conv2d(dim, dim, 1)
+        self.attn = Attention(dim, 8, dim // 8)
+        # the reference constructs Attention(bias=True)
+        inner = dim
+        self.attn.to_q = nn.Linear(dim, inner, bias=True)
+        self.attn.to_k = nn.Linear(dim, inner, bias=True)
+        self.attn.to_v = nn.Linear(dim, inner, bias=True)
+
+    def forward(self, x):
+        b, c, hh, ww = x.shape
+        residual = x
+        h = self.conv_in(self.norm1(x))
+        h = h.flatten(2).permute(0, 2, 1)  # b (h w) c
+        h = self.attn(self.norm2(h)) + h
+        h = self.ff(self.norm3(h)) + h
+        h = h.permute(0, 2, 1).reshape(b, c, hh, ww)
+        h = self.conv_out(h)
+        return h + residual
+
+
+class DownEncoder2D(nn.Module):
+    """(ref:stable_syncnet.py:172-233)."""
+
+    def __init__(self, cin, channels, factors, attns, groups=32):
+        super().__init__()
+        import math as _m
+
+        self.conv_in = nn.Conv2d(cin, channels[0], 3, padding=1)
+        blocks = []
+        out = channels[0]
+        for i, ch in enumerate(channels):
+            blocks.append(SyncResnetBlock2D(out, ch, factors[i], groups))
+            out = ch
+            if attns[i] == 1:
+                blocks.append(SyncAttentionBlock2D(ch, groups))
+        self.down_blocks = nn.ModuleList(blocks)
+        self.norm_out = nn.GroupNorm(_m.gcd(groups, channels[-1]), channels[-1],
+                                     eps=1e-6)
+
+    def forward(self, x):
+        h = self.conv_in(x)
+        for blk in self.down_blocks:
+            h = blk(h)
+        return F.relu(self.norm_out(h))
+
+
+class StableSyncNet(nn.Module):
+    """(ref:stable_syncnet.py:28-62)."""
+
+    def __init__(self, aud, vis):
+        super().__init__()
+        self.audio_encoder = DownEncoder2D(*aud)
+        self.visual_encoder = DownEncoder2D(*vis)
+
+    def forward(self, frames, mels):
+        v = self.visual_encoder(frames).flatten(1)
+        a = self.audio_encoder(mels).flatten(1)
+        return F.normalize(v, p=2, dim=1), F.normalize(a, p=2, dim=1)
+
+
+# ---------------------------------------------------------------------------
+# VQGAN / CodeFormer stack (ref:basicsr/archs/vqgan_arch.py) — block-list
+# naming encoder.blocks.N / generator.blocks.N matching convert_codeformer
+# ---------------------------------------------------------------------------
+
+
+def _vq_normalize(c, groups=32):
+    import math as _m
+
+    g = groups if c % groups == 0 else _m.gcd(groups, c)
+    return nn.GroupNorm(g, c, eps=1e-6)
+
+
+class VQResBlock(nn.Module):
+    """(ref:vqgan_arch.py:141-165) — NOTE the shortcut is named conv_out."""
+
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.cin, self.cout = cin, cout
+        self.norm1 = _vq_normalize(cin)
+        self.conv1 = nn.Conv2d(cin, cout, 3, padding=1)
+        self.norm2 = _vq_normalize(cout)
+        self.conv2 = nn.Conv2d(cout, cout, 3, padding=1)
+        if cin != cout:
+            self.conv_out = nn.Conv2d(cin, cout, 1)
+
+    def forward(self, x_in):
+        x = self.conv1(F.silu(self.norm1(x_in)))
+        x = self.conv2(F.silu(self.norm2(x)))
+        if self.cin != self.cout:
+            x_in = self.conv_out(x_in)
+        return x + x_in
+
+
+class VQAttnBlock(nn.Module):
+    """Single-head 1×1-conv attention (ref:vqgan_arch.py:167-228)."""
+
+    def __init__(self, c):
+        super().__init__()
+        self.norm = _vq_normalize(c)
+        self.q = nn.Conv2d(c, c, 1)
+        self.k = nn.Conv2d(c, c, 1)
+        self.v = nn.Conv2d(c, c, 1)
+        self.proj_out = nn.Conv2d(c, c, 1)
+
+    def forward(self, x):
+        h = self.norm(x)
+        q, k, v = self.q(h), self.k(h), self.v(h)
+        b, c, hh, ww = q.shape
+        q = q.reshape(b, c, hh * ww).permute(0, 2, 1)
+        k = k.reshape(b, c, hh * ww)
+        w = torch.softmax(torch.bmm(q, k) * c ** -0.5, dim=2)
+        v = v.reshape(b, c, hh * ww)
+        out = torch.bmm(v, w.permute(0, 2, 1)).reshape(b, c, hh, ww)
+        return x + self.proj_out(out)
+
+
+class VQDownsample(nn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.conv = nn.Conv2d(c, c, 3, stride=2, padding=0)
+
+    def forward(self, x):
+        return self.conv(F.pad(x, (0, 1, 0, 1)))
+
+
+class VQUpsample(nn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.conv = nn.Conv2d(c, c, 3, padding=1)
+
+    def forward(self, x):
+        return self.conv(F.interpolate(x, scale_factor=2.0, mode="nearest"))
+
+
+def _vq_encoder_blocks(cin, nf, emb_dim, ch_mult, res_blocks, resolution, attns):
+    """(ref:vqgan_arch.py:241-267)."""
+    blocks = [nn.Conv2d(cin, nf, 3, padding=1)]
+    curr = resolution
+    in_mult = (1,) + tuple(ch_mult)
+    for i in range(len(ch_mult)):
+        bi, bo = nf * in_mult[i], nf * ch_mult[i]
+        for _ in range(res_blocks):
+            blocks.append(VQResBlock(bi, bo))
+            bi = bo
+            if curr in attns:
+                blocks.append(VQAttnBlock(bi))
+        if i != len(ch_mult) - 1:
+            blocks.append(VQDownsample(bi))
+            curr //= 2
+    blocks += [VQResBlock(bi, bi), VQAttnBlock(bi), VQResBlock(bi, bi),
+               _vq_normalize(bi), nn.Conv2d(bi, emb_dim, 3, padding=1)]
+    return nn.ModuleList(blocks)
+
+
+def _vq_generator_blocks(nf, emb_dim, ch_mult, res_blocks, img_size, attns):
+    """(ref:vqgan_arch.py:290-316)."""
+    bi = nf * ch_mult[-1]
+    curr = img_size // 2 ** (len(ch_mult) - 1)
+    blocks = [nn.Conv2d(emb_dim, bi, 3, padding=1),
+              VQResBlock(bi, bi), VQAttnBlock(bi), VQResBlock(bi, bi)]
+    for i in reversed(range(len(ch_mult))):
+        bo = nf * ch_mult[i]
+        for _ in range(res_blocks):
+            blocks.append(VQResBlock(bi, bo))
+            bi = bo
+            if curr in attns:
+                blocks.append(VQAttnBlock(bi))
+        if i != 0:
+            blocks.append(VQUpsample(bi))
+            curr *= 2
+    blocks += [_vq_normalize(bi), nn.Conv2d(bi, 3, 3, padding=1)]
+    return nn.ModuleList(blocks)
+
+
+class _Blocks(nn.Module):
+    def __init__(self, blocks):
+        super().__init__()
+        self.blocks = blocks
+
+    def forward(self, x):
+        for b in self.blocks:
+            x = b(x)
+        return x
+
+
+class TorchVQAutoEncoder(nn.Module):
+    """(ref:vqgan_arch.py:327-393), nearest quantizer."""
+
+    def __init__(self, img_size=32, nf=8, ch_mult=(1, 2), res_blocks=2,
+                 attn_resolutions=(16,), codebook_size=16, emb_dim=16):
+        super().__init__()
+        self.emb_dim = emb_dim
+        self.encoder = _Blocks(_vq_encoder_blocks(
+            3, nf, emb_dim, ch_mult, res_blocks, img_size, attn_resolutions))
+        self.generator = _Blocks(_vq_generator_blocks(
+            nf, emb_dim, ch_mult, res_blocks, img_size, attn_resolutions))
+
+        class _Quant(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.embedding = nn.Embedding(codebook_size, emb_dim)
+
+        self.quantize = _Quant()
+
+    def forward(self, x):
+        z = self.encoder(x)  # (b, e, h, w)
+        b, e, hh, ww = z.shape
+        flat = z.permute(0, 2, 3, 1).reshape(-1, e)
+        emb = self.quantize.embedding.weight
+        d = (flat.pow(2).sum(1, keepdim=True) + emb.pow(2).sum(1)
+             - 2 * flat @ emb.t())
+        idx = d.argmin(1)
+        zq = emb[idx].reshape(b, hh, ww, e).permute(0, 3, 1, 2)
+        zq = z + (zq - z).detach()
+        return self.generator(zq)
+
+
+class TorchFuseSft(nn.Module):
+    """(ref:codeformer_arch.py:136-157)."""
+
+    def __init__(self, ch):
+        super().__init__()
+        self.encode_enc = VQResBlock(2 * ch, ch)
+        self.scale = nn.Sequential(
+            nn.Conv2d(ch, ch, 3, padding=1), nn.LeakyReLU(0.2, True),
+            nn.Conv2d(ch, ch, 3, padding=1))
+        self.shift = nn.Sequential(
+            nn.Conv2d(ch, ch, 3, padding=1), nn.LeakyReLU(0.2, True),
+            nn.Conv2d(ch, ch, 3, padding=1))
+
+    def forward(self, enc_feat, dec_feat, w=1.0):
+        enc_feat = self.encode_enc(torch.cat([enc_feat, dec_feat], dim=1))
+        return dec_feat + w * (dec_feat * self.scale(enc_feat) + self.shift(enc_feat))
+
+
+class TorchTransformerSALayer(nn.Module):
+    """(ref:codeformer_arch.py:99-134): pre-LN, pos added to q/k only."""
+
+    def __init__(self, dim, nhead, dim_mlp):
+        super().__init__()
+        self.self_attn = nn.MultiheadAttention(dim, nhead, dropout=0.0)
+        self.linear1 = nn.Linear(dim, dim_mlp)
+        self.linear2 = nn.Linear(dim_mlp, dim)
+        self.norm1 = nn.LayerNorm(dim)
+        self.norm2 = nn.LayerNorm(dim)
+
+    def forward(self, tgt, query_pos):
+        t2 = self.norm1(tgt)
+        q = k = t2 + query_pos
+        t2 = self.self_attn(q, k, value=t2)[0]
+        tgt = tgt + t2
+        t2 = self.norm2(tgt)
+        tgt = tgt + self.linear2(F.gelu(self.linear1(t2)))
+        return tgt
+
+
+class TorchCodeFormer(nn.Module):
+    """(ref:codeformer_arch.py:160-279) at parameterized nf/dims."""
+
+    FUSE_ENCODER = {"512": 2, "256": 5, "128": 8, "64": 11, "32": 14, "16": 18}
+    FUSE_GENERATOR = {"16": 6, "32": 9, "64": 12, "128": 15, "256": 18, "512": 21}
+    CHANNEL_MULT = {"16": 8, "32": 4, "64": 4, "128": 2, "256": 2, "512": 1}
+
+    def __init__(self, img_size=512, nf=2, ch_mult=(1, 2, 2, 4, 4, 8),
+                 emb_dim=8, codebook_size=16, dim_embd=16, n_head=2,
+                 n_layers=2, connect_list=("32", "64", "128", "256")):
+        super().__init__()
+        self.connect_list = connect_list
+        self.emb_dim = emb_dim
+        self.latent_hw = img_size // 2 ** (len(ch_mult) - 1)
+        self.encoder = _Blocks(_vq_encoder_blocks(
+            3, nf, emb_dim, ch_mult, 2, img_size, (self.latent_hw,)))
+        self.generator = _Blocks(_vq_generator_blocks(
+            nf, emb_dim, ch_mult, 2, img_size, (self.latent_hw,)))
+
+        class _Quant(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.embedding = nn.Embedding(codebook_size, emb_dim)
+
+        self.quantize = _Quant()
+        self.position_emb = nn.Parameter(torch.zeros(self.latent_hw ** 2, dim_embd))
+        self.feat_emb = nn.Linear(emb_dim, dim_embd)
+        self.ft_layers = nn.Sequential(*[
+            TorchTransformerSALayer(dim_embd, n_head, dim_embd * 2)
+            for _ in range(n_layers)])
+        self.idx_pred_layer = nn.Sequential(
+            nn.LayerNorm(dim_embd), nn.Linear(dim_embd, codebook_size, bias=False))
+        self.fuse_convs_dict = nn.ModuleDict({
+            f: TorchFuseSft(nf * self.CHANNEL_MULT[f]) for f in connect_list})
+
+    def forward(self, x, w=0.0):
+        enc_feat = {}
+        out_list = [self.FUSE_ENCODER[f] for f in self.connect_list]
+        for i, blk in enumerate(self.encoder.blocks):
+            x = blk(x)
+            if i in out_list:
+                enc_feat[str(x.shape[-1])] = x.clone()
+        lq_feat = x
+        b = x.shape[0]
+        pos = self.position_emb.unsqueeze(1).repeat(1, b, 1)
+        q = self.feat_emb(lq_feat.flatten(2).permute(2, 0, 1))
+        for layer in self.ft_layers:
+            q = layer(q, query_pos=pos)
+        logits = self.idx_pred_layer(q).permute(1, 0, 2)  # b (hw) n
+
+        soft = F.softmax(logits, dim=2)
+        _, top = torch.topk(soft, 1, dim=2)
+        emb = self.quantize.embedding.weight
+        quant = emb[top.squeeze(-1)].reshape(
+            b, self.latent_hw, self.latent_hw, self.emb_dim
+        ).permute(0, 3, 1, 2).detach()
+
+        x = quant
+        fuse_list = [self.FUSE_GENERATOR[f] for f in self.connect_list]
+        for i, blk in enumerate(self.generator.blocks):
+            x = blk(x)
+            if i in fuse_list and w > 0:
+                f_size = str(x.shape[-1])
+                x = self.fuse_convs_dict[f_size](enc_feat[f_size].detach(), x, w)
+        return x, logits, lq_feat
