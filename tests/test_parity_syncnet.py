@@ -95,3 +95,44 @@ def test_stable_syncnet_converter_covers_all_params():
     want = {"/".join(str(k) for k in p) for p, _ in
             jax.tree_util.tree_flatten_with_path(init)[0]}
     assert got == want
+
+
+def test_syncnet_s_eval_scorer_parity():
+    """The classic eval SyncNet S — the model behind the headline
+    'SyncNet confidence' metric — vs its torch layout through
+    convert_syncnet_s (incl. BatchNorm running statistics)."""
+    from latentsync_tpu.eval.sync_eval import SyncNetS
+    from latentsync_tpu.utils.convert_eval import convert_syncnet_s
+
+    from torch_ref_models import TorchSyncNetS
+
+    t = TorchSyncNetS()
+    randomize_(t, seed=9)
+    # BN running stats must be valid (var > 0) and non-trivial
+    g = torch.Generator().manual_seed(10)
+    with torch.no_grad():
+        for m in t.modules():
+            if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d,
+                              torch.nn.BatchNorm3d)):
+                m.running_mean.copy_(torch.randn(m.running_mean.shape, generator=g) * 0.1)
+                m.running_var.copy_(torch.rand(m.running_var.shape, generator=g) + 0.5)
+    t.eval()
+
+    variables = convert_syncnet_s(
+        {k: v.detach().numpy() for k, v in t.state_dict().items()}
+    )
+
+    rng = np.random.default_rng(1)
+    aud = rng.standard_normal((2, 13, 20, 1)).astype(np.float32)
+    lip = rng.standard_normal((2, 5, 224, 224, 3)).astype(np.float32)
+
+    f = SyncNetS()
+    with torch.no_grad():
+        ta = t.forward_aud(torch.from_numpy(np.transpose(aud, (0, 3, 1, 2))))
+        tl = t.forward_lip(torch.from_numpy(
+            np.transpose(lip, (0, 4, 1, 2, 3))))
+    fa = f.apply(variables, jnp.asarray(aud), method=SyncNetS.forward_aud)
+    fl = f.apply(variables, jnp.asarray(lip), method=SyncNetS.forward_lip)
+
+    np.testing.assert_allclose(np.asarray(fa), ta.numpy(), atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(fl), tl.numpy(), atol=2e-3, rtol=2e-3)

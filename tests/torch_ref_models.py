@@ -917,3 +917,52 @@ class TorchCodeFormer(nn.Module):
                 f_size = str(x.shape[-1])
                 x = self.fuse_convs_dict[f_size](enc_feat[f_size].detach(), x, w)
         return x, logits, lq_feat
+
+
+class TorchSyncNetS(nn.Module):
+    """The classic SyncNet scorer S (ref:eval/syncnet/syncnet.py:18-113) —
+    exact Sequential indices so state_dict keys match convert_syncnet_s."""
+
+    def __init__(self, fc_dim=1024):
+        super().__init__()
+        self.netcnnaud = nn.Sequential(
+            nn.Conv2d(1, 64, 3, 1, 1), nn.BatchNorm2d(64), nn.ReLU(True),
+            nn.MaxPool2d((1, 1), (1, 1)),
+            nn.Conv2d(64, 192, 3, 1, 1), nn.BatchNorm2d(192), nn.ReLU(True),
+            nn.MaxPool2d((3, 3), (1, 2)),
+            nn.Conv2d(192, 384, 3, padding=1), nn.BatchNorm2d(384), nn.ReLU(True),
+            nn.Conv2d(384, 256, 3, padding=1), nn.BatchNorm2d(256), nn.ReLU(True),
+            nn.Conv2d(256, 256, 3, padding=1), nn.BatchNorm2d(256), nn.ReLU(True),
+            nn.MaxPool2d((3, 3), (2, 2)),
+            nn.Conv2d(256, 512, (5, 4), padding=0), nn.BatchNorm2d(512), nn.ReLU(),
+        )
+        self.netfcaud = nn.Sequential(
+            nn.Linear(512, 512), nn.BatchNorm1d(512), nn.ReLU(),
+            nn.Linear(512, fc_dim))
+        self.netfclip = nn.Sequential(
+            nn.Linear(512, 512), nn.BatchNorm1d(512), nn.ReLU(),
+            nn.Linear(512, fc_dim))
+        self.netcnnlip = nn.Sequential(
+            nn.Conv3d(3, 96, (5, 7, 7), (1, 2, 2), 0), nn.BatchNorm3d(96),
+            nn.ReLU(True), nn.MaxPool3d((1, 3, 3), (1, 2, 2)),
+            nn.Conv3d(96, 256, (1, 5, 5), (1, 2, 2), (0, 1, 1)),
+            nn.BatchNorm3d(256), nn.ReLU(True),
+            nn.MaxPool3d((1, 3, 3), (1, 2, 2), (0, 1, 1)),
+            nn.Conv3d(256, 256, (1, 3, 3), padding=(0, 1, 1)),
+            nn.BatchNorm3d(256), nn.ReLU(True),
+            nn.Conv3d(256, 256, (1, 3, 3), padding=(0, 1, 1)),
+            nn.BatchNorm3d(256), nn.ReLU(True),
+            nn.Conv3d(256, 256, (1, 3, 3), padding=(0, 1, 1)),
+            nn.BatchNorm3d(256), nn.ReLU(True),
+            nn.MaxPool3d((1, 3, 3), (1, 2, 2)),
+            nn.Conv3d(256, 512, (1, 6, 6), padding=0), nn.BatchNorm3d(512),
+            nn.ReLU(True),
+        )
+
+    def forward_aud(self, x):
+        mid = self.netcnnaud(x)
+        return self.netfcaud(mid.reshape(mid.shape[0], -1))
+
+    def forward_lip(self, x):
+        mid = self.netcnnlip(x)
+        return self.netfclip(mid.reshape(mid.shape[0], -1))
