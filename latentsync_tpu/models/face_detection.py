@@ -161,6 +161,15 @@ class S3FD(nn.Module):
                 x = nn.relu(conv(x, ch, f"{prefix}_{start + i}"))
             return x
 
+        def pool_ceil(x):
+            # torch MaxPool2d(2,2, ceil_mode=True) (ref:nets.py:52): pad
+            # odd edges with -inf so the extra cell takes the valid max
+            ph, pw = x.shape[1] % 2, x.shape[2] % 2
+            if ph or pw:
+                x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)),
+                            constant_values=-jnp.inf)
+            return nn.max_pool(x, (2, 2), strides=(2, 2))
+
         sources = []
         h = block(x.astype(self.dtype), (64, 64), "vgg", 0)
         h = nn.max_pool(h, (2, 2), strides=(2, 2))
@@ -168,15 +177,16 @@ class S3FD(nn.Module):
         h = nn.max_pool(h, (2, 2), strides=(2, 2))
         h = block(h, (256, 256, 256), "vgg", 4)
         sources.append(L2Norm(10.0, name="l2norm3")(h))  # conv3_3
-        h = nn.max_pool(h, (2, 2), strides=(2, 2))
+        h = pool_ceil(h)  # the ONE ceil_mode pool (ref:nets.py:52)
         h = block(h, (512, 512, 512), "vgg", 7)
         sources.append(L2Norm(8.0, name="l2norm4")(h))  # conv4_3
         h = nn.max_pool(h, (2, 2), strides=(2, 2))
         h = block(h, (512, 512, 512), "vgg", 10)
         sources.append(L2Norm(5.0, name="l2norm5")(h))  # conv5_3
         h = nn.max_pool(h, (2, 2), strides=(2, 2))
-        # fc6/fc7 as convs
-        h = nn.relu(nn.Conv(1024, (3, 3), padding=3, kernel_dilation=(1, 1),
+        # fc6/fc7 as convs — fc6 is the atrous VGG head: 3×3, dilation 6,
+        # padding 6 (ref:nets.py:70)
+        h = nn.relu(nn.Conv(1024, (3, 3), padding=6, kernel_dilation=(6, 6),
                             dtype=self.dtype, name="fc6")(h))
         h = nn.relu(nn.Conv(1024, (1, 1), dtype=self.dtype, name="fc7")(h))
         sources.append(h)

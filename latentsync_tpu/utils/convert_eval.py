@@ -282,3 +282,52 @@ def convert_bisenet(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
             elif parts[1] == "conv_out" and parts[2] == "weight":
                 _set(params, base + ("conv_out", "kernel"), _conv2d(w))
     return {"params": params, "batch_stats": stats}
+
+
+# ---------------------------------------------------------------------------
+# S3FD (ref:eval/detectors/s3fd/nets.py) → models/face_detection.S3FD
+# ---------------------------------------------------------------------------
+
+# torch vgg ModuleList conv indices → flax module names
+_S3FD_VGG = {
+    0: "vgg_0", 2: "vgg_1", 5: "vgg_2", 7: "vgg_3",
+    10: "vgg_4", 12: "vgg_5", 14: "vgg_6",
+    17: "vgg_7", 19: "vgg_8", 21: "vgg_9",
+    24: "vgg_10", 26: "vgg_11", 28: "vgg_12",
+    31: "fc6", 33: "fc7",
+}
+_S3FD_EXTRAS = {0: "conv6_1", 1: "conv6_2", 2: "conv7_1", 3: "conv7_2"}
+_S3FD_L2 = {"L2Norm3_3": "l2norm3", "L2Norm4_3": "l2norm4", "L2Norm5_3": "l2norm5"}
+
+
+def convert_s3fd(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """sfd_face.pth state dict → S3FD flax params. Detection heads map
+    loc.{i} → box_{i}, conf.{i} → cls_{i} (per-scale convs)."""
+    params: Dict[str, Any] = {}
+    unmapped = []
+    for key, w in sd.items():
+        parts = key.split(".")
+        leaf = parts[-1]
+        if parts[0] == "vgg":
+            name = _S3FD_VGG.get(int(parts[1]))
+        elif parts[0] == "extras":
+            name = _S3FD_EXTRAS.get(int(parts[1]))
+        elif parts[0] == "loc":
+            name = f"box_{parts[1]}"
+        elif parts[0] == "conf":
+            name = f"cls_{parts[1]}"
+        elif parts[0] in _S3FD_L2:
+            _set(params, (_S3FD_L2[parts[0]], "weight"), w)
+            continue
+        else:
+            name = None
+        if name is None:
+            unmapped.append(key)
+            continue
+        if leaf == "weight":
+            _set(params, (name, "kernel"), _conv2d(w))
+        else:
+            _set(params, (name, "bias"), w)
+    if unmapped:
+        raise ValueError(f"unmapped S3FD keys: {unmapped[:10]}")
+    return {"params": params}

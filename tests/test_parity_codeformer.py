@@ -100,3 +100,59 @@ def test_codeformer_full_parity():
     np.testing.assert_allclose(
         np.transpose(np.asarray(f_out), (0, 3, 1, 2)), t_out.numpy(),
         atol=5e-3, rtol=5e-3)
+
+
+def test_rrdbnet_parity():
+    """RealESRGAN RRDBNet at scale 2 (pixel-unshuffled input, both
+    upsample convs) vs torch through convert_rrdbnet."""
+    from latentsync_tpu.models.rrdbnet import RRDBNet, convert_rrdbnet
+    from torch_ref_models import TorchRRDBNet
+
+    t = TorchRRDBNet(num_feat=16, num_block=2, num_grow_ch=8, scale=2)
+    randomize_(t, seed=17)
+    t.eval()
+    params = convert_rrdbnet(
+        {k: v.detach().numpy() for k, v in t.state_dict().items()}
+    )
+    f = RRDBNet(num_feat=16, num_block=2, num_grow_ch=8, scale=2)
+
+    rng = np.random.default_rng(4)
+    x = rng.uniform(0, 1, (1, 24, 20, 3)).astype(np.float32)
+    with torch.no_grad():
+        t_out = t(torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))).numpy()
+    f_out = np.transpose(np.asarray(f.apply(params, jnp.asarray(x))), (0, 3, 1, 2))
+    assert f_out.shape == t_out.shape == (1, 3, 48, 40)
+    # randomized (untrained) weights blow activations up to ~1e2, so the
+    # comparison is rtol-dominated
+    np.testing.assert_allclose(f_out, t_out, atol=5e-3, rtol=1e-3)
+
+
+def test_arcface_parity():
+    """ResNetArcFace identity net (IRBlock shared-prelu semantics,
+    grayscale input, channel-major flatten) vs torch through
+    convert_arcface incl. BatchNorm running stats."""
+    from latentsync_tpu.models.rrdbnet import ArcFaceResNet18, convert_arcface
+    from torch_ref_models import TorchResNetArcFace
+
+    t = TorchResNetArcFace(layers=(1, 1, 1, 1), feat_hw=2)
+    randomize_(t, seed=19)
+    g = torch.Generator().manual_seed(20)
+    with torch.no_grad():
+        for m in t.modules():
+            if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+                m.running_mean.copy_(torch.randn(m.running_mean.shape, generator=g) * 0.1)
+                m.running_var.copy_(torch.rand(m.running_var.shape, generator=g) + 0.5)
+    t.eval()
+
+    variables = convert_arcface(
+        {k: v.detach().numpy() for k, v in t.state_dict().items()}
+    )
+    f = ArcFaceResNet18(layers=(1, 1, 1, 1))
+
+    rng = np.random.default_rng(5)
+    # 32² grayscale → maxpool 16 → strides 1,2,2,2 → 2² final map
+    x = rng.standard_normal((2, 32, 32, 1)).astype(np.float32)
+    with torch.no_grad():
+        t_out = t(torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))).numpy()
+    f_out = np.asarray(f.apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(f_out, t_out, atol=2e-3, rtol=2e-3)

@@ -136,3 +136,38 @@ def test_syncnet_s_eval_scorer_parity():
 
     np.testing.assert_allclose(np.asarray(fa), ta.numpy(), atol=2e-3, rtol=2e-3)
     np.testing.assert_allclose(np.asarray(fl), tl.numpy(), atol=2e-3, rtol=2e-3)
+
+
+def test_s3fd_parity():
+    """S3FD backbone+heads vs the exact torch layout through
+    convert_s3fd — covers the atrous fc6 (dilation 6) and the single
+    ceil_mode pool (odd 46-pixel input exercises it)."""
+    from latentsync_tpu.models.face_detection import S3FD
+    from latentsync_tpu.utils.convert_eval import convert_s3fd
+
+    from torch_ref_models import TorchS3FD
+
+    t = TorchS3FD()
+    randomize_(t, seed=13)
+    t.eval()
+    params = convert_s3fd(
+        {k: v.detach().numpy() for k, v in t.state_dict().items()}
+    )
+
+    rng = np.random.default_rng(2)
+    # 184 = 8·23: odd 46×46 map at pool3 → ceil branch taken
+    x = rng.standard_normal((1, 184, 184, 3)).astype(np.float32) * 50
+
+    f = S3FD()
+    with torch.no_grad():
+        t_cls, t_box = t(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    f_cls, f_box = f.apply(params, jnp.asarray(x))
+
+    assert len(f_cls) == len(t_cls) == 6
+    for i in range(6):
+        np.testing.assert_allclose(
+            np.transpose(np.asarray(f_cls[i]), (0, 3, 1, 2)),
+            t_cls[i].numpy(), atol=2e-3, rtol=2e-3)
+        np.testing.assert_allclose(
+            np.transpose(np.asarray(f_box[i]), (0, 3, 1, 2)),
+            t_box[i].numpy(), atol=2e-3, rtol=2e-3)

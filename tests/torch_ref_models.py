@@ -966,3 +966,198 @@ class TorchSyncNetS(nn.Module):
     def forward_lip(self, x):
         mid = self.netcnnlip(x)
         return self.netfclip(mid.reshape(mid.shape[0], -1))
+
+
+class TorchS3FD(nn.Module):
+    """(ref:eval/detectors/s3fd/nets.py:28-120) — exact ModuleList
+    indices; returns per-scale raw (conf, loc) conv outputs."""
+
+    def __init__(self):
+        super().__init__()
+        R = lambda: nn.ReLU(inplace=True)
+        self.vgg = nn.ModuleList([
+            nn.Conv2d(3, 64, 3, 1, padding=1), R(),
+            nn.Conv2d(64, 64, 3, 1, padding=1), R(),
+            nn.MaxPool2d(2, 2),
+            nn.Conv2d(64, 128, 3, 1, padding=1), R(),
+            nn.Conv2d(128, 128, 3, 1, padding=1), R(),
+            nn.MaxPool2d(2, 2),
+            nn.Conv2d(128, 256, 3, 1, padding=1), R(),
+            nn.Conv2d(256, 256, 3, 1, padding=1), R(),
+            nn.Conv2d(256, 256, 3, 1, padding=1), R(),
+            nn.MaxPool2d(2, 2, ceil_mode=True),
+            nn.Conv2d(256, 512, 3, 1, padding=1), R(),
+            nn.Conv2d(512, 512, 3, 1, padding=1), R(),
+            nn.Conv2d(512, 512, 3, 1, padding=1), R(),
+            nn.MaxPool2d(2, 2),
+            nn.Conv2d(512, 512, 3, 1, padding=1), R(),
+            nn.Conv2d(512, 512, 3, 1, padding=1), R(),
+            nn.Conv2d(512, 512, 3, 1, padding=1), R(),
+            nn.MaxPool2d(2, 2),
+            nn.Conv2d(512, 1024, 3, 1, padding=6, dilation=6), R(),
+            nn.Conv2d(1024, 1024, 1, 1), R(),
+        ])
+
+        class _L2(nn.Module):
+            def __init__(self, c, scale):
+                super().__init__()
+                self.weight = nn.Parameter(torch.full((c,), float(scale)))
+
+            def forward(self, x):
+                norm = x.pow(2).sum(dim=1, keepdim=True).sqrt() + 1e-10
+                return self.weight[None, :, None, None] * x / norm
+
+        self.L2Norm3_3 = _L2(256, 10)
+        self.L2Norm4_3 = _L2(512, 8)
+        self.L2Norm5_3 = _L2(512, 5)
+        self.extras = nn.ModuleList([
+            nn.Conv2d(1024, 256, 1, 1),
+            nn.Conv2d(256, 512, 3, 2, padding=1),
+            nn.Conv2d(512, 128, 1, 1),
+            nn.Conv2d(128, 256, 3, 2, padding=1),
+        ])
+        self.loc = nn.ModuleList([
+            nn.Conv2d(c, 4, 3, 1, padding=1)
+            for c in (256, 512, 512, 1024, 512, 256)])
+        self.conf = nn.ModuleList([
+            nn.Conv2d(c, n, 3, 1, padding=1)
+            for c, n in ((256, 4), (512, 2), (512, 2), (1024, 2),
+                         (512, 2), (256, 2))])
+
+    def forward(self, x):
+        sources = []
+        for k in range(16):
+            x = self.vgg[k](x)
+        sources.append(self.L2Norm3_3(x))
+        for k in range(16, 23):
+            x = self.vgg[k](x)
+        sources.append(self.L2Norm4_3(x))
+        for k in range(23, 30):
+            x = self.vgg[k](x)
+        sources.append(self.L2Norm5_3(x))
+        for k in range(30, len(self.vgg)):
+            x = self.vgg[k](x)
+        sources.append(x)
+        for i, ex in enumerate(self.extras):
+            x = F.relu(ex(x), inplace=True)
+            if i % 2 == 1:
+                sources.append(x)
+        return ([c(s) for c, s in zip(self.conf, sources)],
+                [l(s) for l, s in zip(self.loc, sources)])
+
+
+class TorchRRDBNet(nn.Module):
+    """(ref:basicsr/archs/rrdbnet_arch.py) at parameterized size."""
+
+    def __init__(self, num_feat=16, num_block=2, num_grow_ch=8, scale=2):
+        super().__init__()
+        self.scale = scale
+
+        class RDB(nn.Module):
+            def __init__(self):
+                super().__init__()
+                nf, gc = num_feat, num_grow_ch
+                self.conv1 = nn.Conv2d(nf, gc, 3, 1, 1)
+                self.conv2 = nn.Conv2d(nf + gc, gc, 3, 1, 1)
+                self.conv3 = nn.Conv2d(nf + 2 * gc, gc, 3, 1, 1)
+                self.conv4 = nn.Conv2d(nf + 3 * gc, gc, 3, 1, 1)
+                self.conv5 = nn.Conv2d(nf + 4 * gc, nf, 3, 1, 1)
+
+            def forward(self, x):
+                l = lambda t: F.leaky_relu(t, 0.2)
+                x1 = l(self.conv1(x))
+                x2 = l(self.conv2(torch.cat((x, x1), 1)))
+                x3 = l(self.conv3(torch.cat((x, x1, x2), 1)))
+                x4 = l(self.conv4(torch.cat((x, x1, x2, x3), 1)))
+                x5 = self.conv5(torch.cat((x, x1, x2, x3, x4), 1))
+                return x5 * 0.2 + x
+
+        class RRDB_(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.rdb1, self.rdb2, self.rdb3 = RDB(), RDB(), RDB()
+
+            def forward(self, x):
+                return self.rdb3(self.rdb2(self.rdb1(x))) * 0.2 + x
+
+        cin = 3 * (4 if scale == 2 else 16 if scale == 1 else 1)
+        self.conv_first = nn.Conv2d(cin, num_feat, 3, 1, 1)
+        self.body = nn.Sequential(*[RRDB_() for _ in range(num_block)])
+        self.conv_body = nn.Conv2d(num_feat, num_feat, 3, 1, 1)
+        self.conv_up1 = nn.Conv2d(num_feat, num_feat, 3, 1, 1)
+        self.conv_up2 = nn.Conv2d(num_feat, num_feat, 3, 1, 1)
+        self.conv_hr = nn.Conv2d(num_feat, num_feat, 3, 1, 1)
+        self.conv_last = nn.Conv2d(num_feat, 3, 3, 1, 1)
+
+    def forward(self, x):
+        if self.scale == 2:
+            x = F.pixel_unshuffle(x, 2)
+        elif self.scale == 1:
+            x = F.pixel_unshuffle(x, 4)
+        feat = self.conv_first(x)
+        feat = feat + self.conv_body(self.body(feat))
+        l = lambda t: F.leaky_relu(t, 0.2)
+        feat = l(self.conv_up1(F.interpolate(feat, scale_factor=2, mode="nearest")))
+        feat = l(self.conv_up2(F.interpolate(feat, scale_factor=2, mode="nearest")))
+        return self.conv_last(l(self.conv_hr(feat)))
+
+
+class TorchIRBlock(nn.Module):
+    """(ref:basicsr/archs/arcface_arch.py:56-101)."""
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None, use_se=False):
+        super().__init__()
+        self.bn0 = nn.BatchNorm2d(inplanes)
+        self.conv1 = nn.Conv2d(inplanes, inplanes, 3, 1, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(inplanes)
+        self.prelu = nn.PReLU()
+        self.conv2 = nn.Conv2d(inplanes, planes, 3, stride, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.downsample = downsample
+        self.use_se = use_se
+
+    def forward(self, x):
+        residual = x
+        out = self.prelu(self.bn1(self.conv1(self.bn0(x))))
+        out = self.bn2(self.conv2(out))
+        if self.downsample is not None:
+            residual = self.downsample(x)
+        return self.prelu(out + residual)
+
+
+class TorchResNetArcFace(nn.Module):
+    """(ref:basicsr/archs/arcface_arch.py:170-244), IRBlock, no SE."""
+
+    def __init__(self, layers=(2, 2, 2, 2), feat_hw=8):
+        super().__init__()
+        self.inplanes = 64
+        self.conv1 = nn.Conv2d(1, 64, 3, padding=1, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.prelu = nn.PReLU()
+        self.maxpool = nn.MaxPool2d(2, 2)
+        self.layer1 = self._make(64, layers[0], 1)
+        self.layer2 = self._make(128, layers[1], 2)
+        self.layer3 = self._make(256, layers[2], 2)
+        self.layer4 = self._make(512, layers[3], 2)
+        self.bn4 = nn.BatchNorm2d(512)
+        self.fc5 = nn.Linear(512 * feat_hw * feat_hw, 512)
+        self.bn5 = nn.BatchNorm1d(512)
+
+    def _make(self, planes, n, stride):
+        downsample = None
+        if stride != 1 or self.inplanes != planes:
+            downsample = nn.Sequential(
+                nn.Conv2d(self.inplanes, planes, 1, stride, bias=False),
+                nn.BatchNorm2d(planes))
+        blocks = [TorchIRBlock(self.inplanes, planes, stride, downsample)]
+        self.inplanes = planes
+        for _ in range(1, n):
+            blocks.append(TorchIRBlock(self.inplanes, planes))
+        return nn.Sequential(*blocks)
+
+    def forward(self, x):
+        x = self.maxpool(self.prelu(self.bn1(self.conv1(x))))
+        x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+        x = self.bn4(x)
+        x = x.reshape(x.size(0), -1)
+        return self.bn5(self.fc5(x))
