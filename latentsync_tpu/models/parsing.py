@@ -12,55 +12,151 @@ import jax.numpy as jnp
 import numpy as np
 
 
-class ParseBlock(nn.Module):
+class PConvLayer(nn.Module):
+    """ConvLayer (ref:facelib/parsing/parsenet.py:74-111): optional
+    nearest-up / stride-down, reflection pad, conv, optional BN, optional
+    LeakyReLU(0.2). BN implies bias-free conv, exactly as upstream."""
+
     out_ch: int
-    mode: str = "none"  # none | down | up
+    scale: str = "none"  # none | down | up
+    norm: bool = False
+    relu: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        stride = 2 if self.mode == "down" else 1
-        if self.mode == "up":
+        if self.scale == "up":
             b, h, w, c = x.shape
             x = jax.image.resize(x, (b, h * 2, w * 2, c), "nearest")
-        sc = nn.Conv(self.out_ch, (3, 3), strides=(stride, stride), padding=1,
-                     dtype=self.dtype, name="shortcut")(x)
-        h1 = nn.Conv(self.out_ch, (3, 3), strides=(stride, stride), padding=1,
-                     dtype=self.dtype, name="conv1")(x)
-        h1 = jax.nn.leaky_relu(h1, 0.2)
-        h1 = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h1)
-        return jax.nn.leaky_relu(h1 + sc, 0.2)
+        stride = 2 if self.scale == "down" else 1
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+        x = nn.Conv(self.out_ch, (3, 3), strides=(stride, stride),
+                    padding="VALID", use_bias=not self.norm,
+                    dtype=self.dtype, name="conv2d")(x)
+        if self.norm:
+            x = nn.BatchNorm(use_running_average=True, dtype=jnp.float32,
+                             name="norm")(x).astype(self.dtype)
+        if self.relu:
+            x = jax.nn.leaky_relu(x, 0.2)
+        return x
+
+
+class PResidualBlock(nn.Module):
+    """(ref:parsenet.py:113-137): conv1 (BN+LeakyReLU) -> conv2 (BN only)
+    + shortcut (plain scaled conv, or identity); NO activation after the
+    add."""
+
+    out_ch: int
+    scale: str = "none"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if self.scale == "none" and x.shape[-1] == self.out_ch:
+            identity = x
+        else:
+            identity = PConvLayer(self.out_ch, self.scale, dtype=self.dtype,
+                                  name="shortcut_func")(x)
+        scale_conf = {"down": ("none", "down"), "up": ("up", "none"),
+                      "none": ("none", "none")}[self.scale]
+        h = PConvLayer(self.out_ch, scale_conf[0], norm=True, relu=True,
+                       dtype=self.dtype, name="conv1")(x)
+        h = PConvLayer(self.out_ch, scale_conf[1], norm=True, relu=False,
+                       dtype=self.dtype, name="conv2")(h)
+        return identity + h
 
 
 class ParseNet(nn.Module):
-    """Encoder-decoder face parser: (B, 512, 512, 3) in [-1,1] →
-    (seg_logits (B, 512, 512, 19), recovered image)."""
+    """Encoder-body-decoder face parser (ref:parsenet.py:140-193;
+    released config in_size=out_size=512, min_feat 32, base 64,
+    res_depth 10, ch_range [32, 256]): (B, 512, 512, 3) normalized input
+    -> (seg_logits (B, 512, 512, 19), recovered image). Global residual
+    around the body stack, no U-Net skips."""
 
-    min_feat: int = 32
-    max_feat: int = 512
+    in_size: int = 512
+    out_size: int = 512
+    min_feat_size: int = 32
+    base_ch: int = 64
     num_classes: int = 19
+    res_depth: int = 10
+    ch_range: Tuple[int, int] = (32, 256)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         x = x.astype(self.dtype)
-        chans = [64, 128, 256, 512, 512]
-        h = nn.Conv(chans[0], (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x)
-        skips = []
-        for i, ch in enumerate(chans):
-            h = ParseBlock(ch, "down", self.dtype, name=f"enc_{i}")(h)
-            skips.append(h)
-        h = ParseBlock(chans[-1], "none", self.dtype, name="body_0")(h)
-        h = ParseBlock(chans[-1], "none", self.dtype, name="body_1")(h)
-        for i, ch in enumerate(reversed(chans)):
-            h = ParseBlock(ch, "up", self.dtype, name=f"dec_{i}")(h)
-            skip = skips[len(chans) - 1 - i]
-            if skip.shape == h.shape:
-                h = h + skip
-        seg = nn.Conv(self.num_classes, (3, 3), padding=1, dtype=self.dtype,
-                      name="out_mask")(h)
-        img = nn.Conv(3, (3, 3), padding=1, dtype=self.dtype, name="out_img")(h)
+        lo, hi = self.ch_range
+        clip = lambda c: max(lo, min(c, hi))
+        min_feat = min(self.in_size, self.min_feat_size)
+        down_steps = int(np.log2(self.in_size // min_feat))
+        up_steps = int(np.log2(self.out_size // min_feat))
+
+        h = PConvLayer(self.base_ch, dtype=self.dtype, name="encoder_0")(x)
+        head = self.base_ch
+        for i in range(down_steps):
+            h = PResidualBlock(clip(head * 2), "down", self.dtype,
+                               name=f"encoder_{i + 1}")(h)
+            head *= 2
+        feat = h
+        for i in range(self.res_depth):
+            h = PResidualBlock(clip(head), "none", self.dtype,
+                               name=f"body_{i}")(h)
+        h = feat + h  # global residual (ref:parsenet.py:189)
+        for i in range(up_steps):
+            h = PResidualBlock(clip(head // 2), "up", self.dtype,
+                               name=f"decoder_{i}")(h)
+            head //= 2
+        img = PConvLayer(3, dtype=self.dtype, name="out_img_conv")(h)
+        seg = PConvLayer(self.num_classes, dtype=self.dtype,
+                         name="out_mask_conv")(h)
         return seg, img
+
+
+def convert_parsenet(sd):
+    """parsing_parsenet.pth -> ParseNet params (torch naming:
+    encoder.N / body.N / decoder.N with conv1/conv2/shortcut_func
+    ConvLayers whose BN sits at <layer>.norm.norm)."""
+    params = {}
+    stats = {}
+
+    def put(tree, path, name, w):
+        node = tree
+        for p in path:
+            node = node.setdefault(p, {})
+        node[name] = w
+
+    for key, w in sd.items():
+        if key.endswith("num_batches_tracked"):
+            continue
+        parts = key.split(".")
+        leaf = parts[-1]
+        if parts[0] in ("encoder", "body", "decoder"):
+            mod = f"{parts[0]}_{parts[1]}"
+            rest = parts[2:-1]
+        else:  # out_img_conv / out_mask_conv (plain ConvLayer)
+            mod = parts[0]
+            rest = parts[1:-1]
+        if rest and rest[0] in ("conv1", "conv2", "shortcut_func"):
+            sub, rest2 = rest[0], rest[1:]
+        else:
+            sub, rest2 = None, rest
+        base = (mod,) + ((sub,) if sub else ())
+        if rest2 and rest2[0] == "conv2d":
+            if leaf == "weight":
+                put(params, base + ("conv2d",), "kernel",
+                    np.transpose(w, (2, 3, 1, 0)))
+            else:
+                put(params, base + ("conv2d",), "bias", w)
+        elif rest2 and rest2[0] == "norm":
+            if leaf == "weight":
+                put(params, base + ("norm",), "scale", w)
+            elif leaf == "bias":
+                put(params, base + ("norm",), "bias", w)
+            elif leaf == "running_mean":
+                put(stats, base + ("norm",), "mean", w)
+            elif leaf == "running_var":
+                put(stats, base + ("norm",), "var", w)
+    return {"params": params, "batch_stats": stats}
 
 
 FACE_CLASS_IDS = tuple(range(1, 14))  # skin..lips classes form the face mask

@@ -190,3 +190,71 @@ class RetinaFaceDetector:
         dets = np.concatenate([boxes, scores[:, None], pts], axis=1)
         keep_idx = nms(dets[:, :4], dets[:, 4], nms_thresh)
         return dets[keep_idx]
+
+
+def convert_retinaface(sd):
+    """mobilenet0.25_Final.pth → RetinaFaceMobile params
+    (ref:facelib/detection/retinaface/retinaface_net.py naming:
+    body.stageN.i Sequentials, fpn.output/merge, sshN.convKxK branches,
+    ClassHead/BboxHead/LandmarkHead conv1x1 lists)."""
+    import numpy as np
+
+    params = {}
+    stats = {}
+
+    def put(tree, path, name, w):
+        node = tree
+        for p in path:
+            node = node.setdefault(p, {})
+        node[name] = w
+
+    def put_cv(path, leaf, w):
+        if leaf == "weight":
+            put(params, path, "kernel", np.transpose(w, (2, 3, 1, 0)))
+        else:
+            put(params, path, "bias", w)
+
+    def put_bn(path, leaf, w):
+        if leaf == "weight":
+            put(params, path, "scale", w)
+        elif leaf == "bias":
+            put(params, path, "bias", w)
+        elif leaf == "running_mean":
+            put(stats, path, "mean", w)
+        elif leaf == "running_var":
+            put(stats, path, "var", w)
+
+    _SSH_BRANCH = {"conv3X3": "conv3x3", "conv5X5_1": "conv5x5_1",
+                   "conv5X5_2": "conv5x5_2", "conv7X7_2": "conv7x7_2",
+                   "conv7x7_3": "conv7x7_3"}
+    _HEAD = {"ClassHead": "class_head", "BboxHead": "bbox_head",
+             "LandmarkHead": "ldm_head"}
+
+    for key, w in sd.items():
+        key = key.replace("module.", "")
+        if key.endswith("num_batches_tracked") or key.startswith(("body.fc", "body.avg")):
+            continue
+        parts = key.split(".")
+        leaf = parts[-1]
+        if parts[0] == "body":
+            stage, i, j = parts[1], int(parts[2]), int(parts[3])
+            mod = f"{stage}_{i}"
+            if stage == "stage1" and i == 0:  # plain conv_bn
+                tgt = (f"{mod}_conv",) if j == 0 else (f"{mod}_bn",)
+                (put_cv if j == 0 else put_bn)(tgt, leaf, w)
+            else:  # conv_dw: 0 dw, 1 dwbn, 3 pw, 4 pwbn
+                sub = {0: "_dw", 1: "_dwbn", 3: "_pw", 4: "_pwbn"}[j]
+                (put_cv if j in (0, 3) else put_bn)((f"{mod}{sub}",), leaf, w)
+        elif parts[0] == "fpn":
+            name = parts[1].replace("output", "fpn_out").replace("merge", "fpn_merge")
+            j = int(parts[2])
+            tgt = (f"{name}_conv",) if j == 0 else (f"{name}_bn",)
+            (put_cv if j == 0 else put_bn)(tgt, leaf, w)
+        elif parts[0].startswith("ssh"):
+            branch = _SSH_BRANCH[parts[1]]
+            j = int(parts[2])
+            tgt = (parts[0], f"{branch}_conv") if j == 0 else (parts[0], f"{branch}_bn")
+            (put_cv if j == 0 else put_bn)(tgt, leaf, w)
+        elif parts[0] in _HEAD:
+            put_cv((f"{_HEAD[parts[0]]}_{parts[1]}",), leaf, w)
+    return {"params": params, "batch_stats": stats}

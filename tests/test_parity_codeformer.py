@@ -156,3 +156,40 @@ def test_arcface_parity():
         t_out = t(torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))).numpy()
     f_out = np.asarray(f.apply(variables, jnp.asarray(x)))
     np.testing.assert_allclose(f_out, t_out, atol=2e-3, rtol=2e-3)
+
+
+def test_parsenet_parity():
+    """ParseNet (reflection-pad ConvLayers, BN inside NormLayer wrapper,
+    global body residual, clipped channel schedule) vs torch through
+    convert_parsenet."""
+    from latentsync_tpu.models.parsing import ParseNet, convert_parsenet
+    from torch_ref_models import TorchParseNet
+
+    t = TorchParseNet(in_size=64, out_size=64, min_feat=16, base=16,
+                      res_depth=2, ch_range=(16, 64))
+    randomize_(t, seed=29)
+    g = torch.Generator().manual_seed(30)
+    with torch.no_grad():
+        for m in t.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.copy_(torch.randn(m.running_mean.shape, generator=g) * 0.1)
+                m.running_var.copy_(torch.rand(m.running_var.shape, generator=g) + 0.5)
+    t.eval()
+
+    variables = convert_parsenet(
+        {k: v.detach().numpy() for k, v in t.state_dict().items()}
+    )
+    f = ParseNet(in_size=64, out_size=64, min_feat_size=16, base_ch=16,
+                 res_depth=2, ch_range=(16, 64))
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((1, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        t_seg, t_img = t(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    f_seg, f_img = f.apply(variables, jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(f_seg), (0, 3, 1, 2)), t_seg.numpy(),
+        atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(f_img), (0, 3, 1, 2)), t_img.numpy(),
+        atol=2e-3, rtol=2e-3)

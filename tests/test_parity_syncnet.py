@@ -171,3 +171,40 @@ def test_s3fd_parity():
         np.testing.assert_allclose(
             np.transpose(np.asarray(f_box[i]), (0, 3, 1, 2)),
             t_box[i].numpy(), atol=2e-3, rtol=2e-3)
+
+
+def test_retinaface_parity():
+    """MobileNet0.25 RetinaFace (depthwise stages, FPN nearest-merge,
+    SSH branches, 3-scale heads) vs torch through convert_retinaface."""
+    from latentsync_tpu.models.retinaface import (
+        RetinaFaceMobile,
+        convert_retinaface,
+    )
+    from torch_ref_models import TorchRetinaFaceMobile
+
+    t = TorchRetinaFaceMobile()
+    randomize_(t, seed=23)
+    g = torch.Generator().manual_seed(24)
+    with torch.no_grad():
+        for m in t.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.copy_(torch.randn(m.running_mean.shape, generator=g) * 0.1)
+                m.running_var.copy_(torch.rand(m.running_var.shape, generator=g) + 0.5)
+    t.eval()
+    variables = convert_retinaface(
+        {k: v.detach().numpy() for k, v in t.state_dict().items()}
+    )
+
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((1, 96, 128, 3)).astype(np.float32) * 20
+
+    f = RetinaFaceMobile()
+    with torch.no_grad():
+        t_outs = t(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    f_outs = f.apply(variables, jnp.asarray(x))
+
+    for lvl in range(3):
+        for k in range(3):
+            np.testing.assert_allclose(
+                np.transpose(np.asarray(f_outs[lvl][k]), (0, 3, 1, 2)),
+                t_outs[lvl][k].numpy(), atol=2e-3, rtol=2e-3)

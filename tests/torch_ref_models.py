@@ -1161,3 +1161,189 @@ class TorchResNetArcFace(nn.Module):
         x = self.bn4(x)
         x = x.reshape(x.size(0), -1)
         return self.bn5(self.fc5(x))
+
+
+def _rf_conv_bn(inp, oup, stride=1, leaky=0.0):
+    return nn.Sequential(
+        nn.Conv2d(inp, oup, 3, stride, 1, bias=False), nn.BatchNorm2d(oup),
+        nn.LeakyReLU(leaky, inplace=True))
+
+
+def _rf_conv_bn1x1(inp, oup, stride=1, leaky=0.0):
+    return nn.Sequential(
+        nn.Conv2d(inp, oup, 1, stride, 0, bias=False), nn.BatchNorm2d(oup),
+        nn.LeakyReLU(leaky, inplace=True))
+
+
+def _rf_conv_bn_no_relu(inp, oup, stride=1):
+    return nn.Sequential(
+        nn.Conv2d(inp, oup, 3, stride, 1, bias=False), nn.BatchNorm2d(oup))
+
+
+def _rf_conv_dw(inp, oup, stride, leaky=0.1):
+    return nn.Sequential(
+        nn.Conv2d(inp, inp, 3, stride, 1, groups=inp, bias=False),
+        nn.BatchNorm2d(inp), nn.LeakyReLU(leaky, inplace=True),
+        nn.Conv2d(inp, oup, 1, 1, 0, bias=False),
+        nn.BatchNorm2d(oup), nn.LeakyReLU(leaky, inplace=True))
+
+
+class TorchRetinaFaceMobile(nn.Module):
+    """MobileNet0.25 RetinaFace (ref:facelib/detection/retinaface/
+    retinaface_net.py + retinaface.py assembly) — exact key layout."""
+
+    class _Body(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.stage1 = nn.Sequential(
+                _rf_conv_bn(3, 8, 2, leaky=0.1), _rf_conv_dw(8, 16, 1),
+                _rf_conv_dw(16, 32, 2), _rf_conv_dw(32, 32, 1),
+                _rf_conv_dw(32, 64, 2), _rf_conv_dw(64, 64, 1))
+            self.stage2 = nn.Sequential(
+                _rf_conv_dw(64, 128, 2), *[_rf_conv_dw(128, 128, 1)
+                                           for _ in range(5)])
+            self.stage3 = nn.Sequential(
+                _rf_conv_dw(128, 256, 2), _rf_conv_dw(256, 256, 1))
+
+    class _SSH(nn.Module):
+        def __init__(self, cin, cout, leaky=0.1):
+            super().__init__()
+            self.conv3X3 = _rf_conv_bn_no_relu(cin, cout // 2)
+            self.conv5X5_1 = _rf_conv_bn(cin, cout // 4, leaky=leaky)
+            self.conv5X5_2 = _rf_conv_bn_no_relu(cout // 4, cout // 4)
+            self.conv7X7_2 = _rf_conv_bn(cout // 4, cout // 4, leaky=leaky)
+            self.conv7x7_3 = _rf_conv_bn_no_relu(cout // 4, cout // 4)
+
+        def forward(self, x):
+            c3 = self.conv3X3(x)
+            c5_1 = self.conv5X5_1(x)
+            c5 = self.conv5X5_2(c5_1)
+            c7 = self.conv7x7_3(self.conv7X7_2(c5_1))
+            return F.relu(torch.cat([c3, c5, c7], dim=1))
+
+    class _FPN(nn.Module):
+        def __init__(self, chans, out, leaky=0.1):
+            super().__init__()
+            self.output1 = _rf_conv_bn1x1(chans[0], out, leaky=leaky)
+            self.output2 = _rf_conv_bn1x1(chans[1], out, leaky=leaky)
+            self.output3 = _rf_conv_bn1x1(chans[2], out, leaky=leaky)
+            self.merge1 = _rf_conv_bn(out, out, leaky=leaky)
+            self.merge2 = _rf_conv_bn(out, out, leaky=leaky)
+
+        def forward(self, c1, c2, c3):
+            o1, o2, o3 = self.output1(c1), self.output2(c2), self.output3(c3)
+            o2 = self.merge2(o2 + F.interpolate(
+                o3, size=o2.shape[2:], mode="nearest"))
+            o1 = self.merge1(o1 + F.interpolate(
+                o2, size=o1.shape[2:], mode="nearest"))
+            return o1, o2, o3
+
+    def __init__(self, out_channel=64):
+        super().__init__()
+        self.body = self._Body()
+        self.fpn = self._FPN((64, 128, 256), out_channel)
+        self.ssh1 = self._SSH(out_channel, out_channel)
+        self.ssh2 = self._SSH(out_channel, out_channel)
+        self.ssh3 = self._SSH(out_channel, out_channel)
+        self.ClassHead = nn.ModuleList()
+        self.BboxHead = nn.ModuleList()
+        self.LandmarkHead = nn.ModuleList()
+        for _ in range(3):
+            for lst, n in ((self.ClassHead, 4), (self.BboxHead, 8),
+                           (self.LandmarkHead, 20)):
+                m = nn.Module()
+                m.conv1x1 = nn.Conv2d(out_channel, n, 1)
+                lst.append(m)
+
+    def forward(self, x):
+        c1 = self.body.stage1(x)
+        c2 = self.body.stage2(c1)
+        c3 = self.body.stage3(c2)
+        p1, p2, p3 = self.fpn(c1, c2, c3)
+        feats = [self.ssh1(p1), self.ssh2(p2), self.ssh3(p3)]
+        return [(self.ClassHead[i].conv1x1(f), self.BboxHead[i].conv1x1(f),
+                 self.LandmarkHead[i].conv1x1(f))
+                for i, f in enumerate(feats)]
+
+
+class _PNConvLayer(nn.Module):
+    """(ref:facelib/parsing/parsenet.py:74-111)."""
+
+    def __init__(self, cin, cout, scale="none", norm="none", relu="none"):
+        super().__init__()
+        bias = norm != "bn"
+        self.scale, self.relu_type = scale, relu
+        self.reflection_pad = nn.ReflectionPad2d(1)
+        self.conv2d = nn.Conv2d(cin, cout, 3, 2 if scale == "down" else 1,
+                                bias=bias)
+
+        class _Norm(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.norm = (nn.BatchNorm2d(cout) if norm == "bn"
+                             else nn.Identity())
+
+            def forward(self, x):
+                return self.norm(x)
+
+        self.norm = _Norm()
+
+    def forward(self, x):
+        if self.scale == "up":
+            x = F.interpolate(x, scale_factor=2, mode="nearest")
+        x = self.conv2d(self.reflection_pad(x))
+        x = self.norm(x)
+        if self.relu_type == "leakyrelu":
+            x = F.leaky_relu(x, 0.2)
+        return x
+
+
+class _PNResidual(nn.Module):
+    def __init__(self, cin, cout, scale="none"):
+        super().__init__()
+        if scale == "none" and cin == cout:
+            self.shortcut_func = nn.Identity()
+        else:
+            self.shortcut_func = _PNConvLayer(cin, cout, scale)
+        conf = {"down": ("none", "down"), "up": ("up", "none"),
+                "none": ("none", "none")}[scale]
+        self.conv1 = _PNConvLayer(cin, cout, conf[0], "bn", "leakyrelu")
+        self.conv2 = _PNConvLayer(cout, cout, conf[1], "bn", "none")
+
+    def forward(self, x):
+        return self.shortcut_func(x) + self.conv2(self.conv1(x))
+
+
+class TorchParseNet(nn.Module):
+    """(ref:facelib/parsing/parsenet.py:140-193)."""
+
+    def __init__(self, in_size=512, out_size=512, min_feat=32, base=64,
+                 parsing_ch=19, res_depth=10, ch_range=(32, 256)):
+        super().__init__()
+        import math as _m
+
+        lo, hi = ch_range
+        clip = lambda c: max(lo, min(c, hi))
+        downs = int(_m.log2(in_size // min(in_size, min_feat)))
+        ups = int(_m.log2(out_size // min(in_size, min_feat)))
+        enc = [_PNConvLayer(3, base)]
+        head = base
+        for _ in range(downs):
+            enc.append(_PNResidual(clip(head), clip(head * 2), "down"))
+            head *= 2
+        self.encoder = nn.Sequential(*enc)
+        self.body = nn.Sequential(*[
+            _PNResidual(clip(head), clip(head)) for _ in range(res_depth)])
+        dec = []
+        for _ in range(ups):
+            dec.append(_PNResidual(clip(head), clip(head // 2), "up"))
+            head //= 2
+        self.decoder = nn.Sequential(*dec)
+        self.out_img_conv = _PNConvLayer(clip(head), 3)
+        self.out_mask_conv = _PNConvLayer(clip(head), parsing_ch)
+
+    def forward(self, x):
+        feat = self.encoder(x)
+        x = feat + self.body(feat)
+        x = self.decoder(x)
+        return self.out_mask_conv(x), self.out_img_conv(x)
