@@ -92,7 +92,9 @@ class HyperIQA(nn.Module):
         # local distortion aware heads (lda): pool early stages to a
         # shared target-input vector (ref:hyper_iqa.py lda_x_pool/fc)
         def lda(feat, ch, pool, idx, out_dim):
-            h = nn.Conv(ch, (1, 1), dtype=self.dtype, name=f"lda{idx}_conv")(feat)
+            # ref ldaN_pool.0 convs are bias-free (ref:hyper_iqa.py:235-252)
+            h = nn.Conv(ch, (1, 1), use_bias=False, dtype=self.dtype,
+                        name=f"lda{idx}_conv")(feat)
             h = nn.avg_pool(h, (pool, pool), strides=(pool, pool))
             h = h.reshape(h.shape[0], -1)
             return nn.Dense(out_dim, dtype=self.dtype, name=f"lda{idx}_fc")(h)
@@ -105,34 +107,42 @@ class HyperIQA(nn.Module):
                       name="lda4_fc")(v4)
         target_vec = jnp.concatenate([v1, v2, v3, v4], axis=-1)  # (B, 224)
 
-        # hyper head: predict TargetNet weights from C5
-        h = nn.Conv(1024, (1, 1), dtype=self.dtype, name="hyper_conv1")(c5)
+        # hyper head: 1×1 conv stack over C5 (torch Sequential indices
+        # conv1.0/.2/.4, ref:hyper_iqa.py:50-58)
+        h = nn.Conv(1024, (1, 1), dtype=self.dtype, name="conv1_0")(c5)
         h = nn.relu(h)
-        h = nn.Conv(512, (1, 1), dtype=self.dtype, name="hyper_conv2")(h)
+        h = nn.Conv(512, (1, 1), dtype=self.dtype, name="conv1_2")(h)
         h = nn.relu(h)
-        h = nn.Conv(self.hyper_in, (1, 1), dtype=self.dtype, name="hyper_conv3")(h)
-        h = nn.relu(h)
-        hyper_feat = h.mean(axis=(1, 2))  # (B, hyper_in)
+        h = nn.Conv(self.hyper_in, (1, 1), dtype=self.dtype, name="conv1_4")(h)
+        h = nn.relu(h)  # (B, 7, 7, hyperInChn)
+        pooled = h.mean(axis=(1, 2))  # AdaptiveAvgPool2d(1)
 
         b = x.shape[0]
+        fs2 = h.shape[1] * h.shape[2]  # feature_size² = 49
 
-        def predict(name, out_dim):
-            w = nn.Dense(out_dim, dtype=self.dtype, name=name)(hyper_feat)
-            return w
+        def gen_w(name, f_in, f_out):
+            """TargetNet weights come from a 3×3 CONV over the 7×7 hyper
+            map, reshaped channel-major (ref:hyper_iqa.py:60-70,92-100)."""
+            wmap = nn.Conv(f_in * f_out // fs2, (3, 3), padding=1,
+                           dtype=self.dtype, name=name)(h)
+            wmap = jnp.transpose(wmap, (0, 3, 1, 2))  # torch flatten order
+            return wmap.reshape(b, f_out, f_in)
 
-        # per-image MLP: 224 → 112 → 56 → 28 → 14 → 1 (sigmoid gates as in
-        # the reference TargetNet)
+        def gen_b(name, f_out):
+            return nn.Dense(f_out, dtype=self.dtype, name=name)(pooled)
+
+        # per-image MLP 224 → 112 → 56 → 28 → 14 → 1 with sigmoid gates
+        # (ref TargetNet l1-l4)
         dims = [self.target_in, 112, 56, 28, 14]
         v = target_vec
         for i in range(4):
-            w = predict(f"fc{i}_w", dims[i] * dims[i + 1]).reshape(b, dims[i], dims[i + 1])
-            bias = predict(f"fc{i}_b", dims[i + 1])
-            v = jnp.einsum("bi,bij->bj", v, w) + bias
-            v = jax.nn.sigmoid(v)
-        w = predict("fc4_w", dims[4]).reshape(b, dims[4], 1)
-        bias = predict("fc4_b", 1)
-        score = jnp.einsum("bi,bij->bj", v, w) + bias
-        return score[:, 0] * 100.0
+            w = gen_w(f"fc{i + 1}w_conv", dims[i], dims[i + 1])
+            bias = gen_b(f"fc{i + 1}b_fc", dims[i + 1])
+            v = jax.nn.sigmoid(jnp.einsum("boi,bi->bo", w, v) + bias)
+        w5 = nn.Dense(dims[4], dtype=self.dtype, name="fc5w_fc")(pooled)
+        b5 = nn.Dense(1, dtype=self.dtype, name="fc5b_fc")(pooled)
+        score = jnp.sum(w5 * v, axis=-1, keepdims=True) + b5
+        return score[:, 0]
 
 
 class HyperIQAScorer:
@@ -158,3 +168,74 @@ class HyperIQAScorer:
         std = np.array([0.229, 0.224, 0.225], np.float32)
         img = (img - mean) / std
         return float(self._fn(self.params, jnp.asarray(img[None]))[0])
+
+
+def convert_hyperiqa(sd):
+    """koniq_pretrained.pkl HyperNet state dict → HyperIQA params
+    (torch naming: res.* backbone incl. res.ldaN_pool.0/ldaN_fc,
+    conv1.{0,2,4} hyper stack, fcNw_conv/fcNb_fc/fc5w_fc/fc5b_fc)."""
+    import numpy as np
+
+    params = {}
+    stats = {}
+
+    def put(tree, path, name, w):
+        node = tree
+        for p in path:
+            node = node.setdefault(p, {})
+        node[name] = w
+
+    def put_cv(path, leaf, w):
+        if leaf == "weight":
+            put(params, path, "kernel", np.transpose(w, (2, 3, 1, 0)))
+        else:
+            put(params, path, "bias", w)
+
+    def put_lin(path, leaf, w):
+        if leaf == "weight":
+            put(params, path, "kernel", w.T)
+        else:
+            put(params, path, "bias", w)
+
+    def put_bn(path, leaf, w):
+        if leaf == "weight":
+            put(params, path, "scale", w)
+        elif leaf == "bias":
+            put(params, path, "bias", w)
+        elif leaf == "running_mean":
+            put(stats, path, "mean", w)
+        elif leaf == "running_var":
+            put(stats, path, "var", w)
+
+    for key, w in sd.items():
+        if key.endswith("num_batches_tracked"):
+            continue
+        parts = key.split(".")
+        leaf = parts[-1]
+        if parts[0] == "res":
+            sub = parts[1]
+            if sub.startswith("lda") and sub.endswith("_pool"):
+                put_cv((sub.replace("_pool", "_conv"),), leaf, w)
+            elif sub.startswith("lda") and sub.endswith("_fc"):
+                put_lin((sub,), leaf, w)
+            elif sub in ("conv1", "bn1"):
+                (put_cv if sub == "conv1" else put_bn)(("res", sub), leaf, w)
+            elif sub.startswith("layer"):
+                blk = f"{sub}_{parts[2]}"
+                inner = parts[3]
+                if inner.startswith("bn"):
+                    put_bn(("res", blk, inner), leaf, w)
+                elif inner.startswith("conv"):
+                    put_cv(("res", blk, inner), leaf, w)
+                elif inner == "downsample":
+                    if parts[4] == "0":
+                        put_cv(("res", blk, "ds_conv"), leaf, w)
+                    else:
+                        put_bn(("res", blk, "ds_bn"), leaf, w)
+        elif parts[0] == "conv1":
+            put_cv((f"conv1_{parts[1]}",), leaf, w)
+        elif parts[0].endswith("w_conv"):
+            put_cv((parts[0],), leaf, w)
+        elif parts[0].endswith("b_fc") or parts[0] == "fc5w_fc":
+            put_lin((parts[0],), leaf, w)
+    return {"params": params, "batch_stats": stats}

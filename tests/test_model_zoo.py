@@ -23,10 +23,10 @@ def test_codeformer_block_indices_match_reference():
     gen = generator_block_specs(64, (1, 2, 2, 4, 4, 8), 2, 512, (16,), 256)
     for f, idx in CodeFormer.FUSE_ENCODER.items():
         assert enc[idx][0] == "res", (f, idx, enc[idx])
-        assert enc[idx][1] == CodeFormer.CHANNELS[f], (f, enc[idx])
+        assert enc[idx][1] == 64 * CodeFormer.CHANNEL_MULT[f], (f, enc[idx])
     for f, idx in CodeFormer.FUSE_GENERATOR.items():
         assert gen[idx][0] == "res", (f, idx, gen[idx])
-        assert gen[idx][1] == CodeFormer.CHANNELS[f], (f, gen[idx])
+        assert gen[idx][1] == 64 * CodeFormer.CHANNEL_MULT[f], (f, gen[idx])
     # total block counts: 25 each for this geometry
     assert len(enc) == 25 and len(gen) == 25
 

@@ -193,3 +193,33 @@ def test_parsenet_parity():
     np.testing.assert_allclose(
         np.transpose(np.asarray(f_img), (0, 3, 1, 2)), t_img.numpy(),
         atol=2e-3, rtol=2e-3)
+
+
+def test_hyperiqa_parity():
+    """HyperIQA hypernetwork (conv-generated TargetNet weights in torch
+    channel-major flatten order, lda pools, sigmoid MLP) vs torch
+    through convert_hyperiqa."""
+    from latentsync_tpu.models.hyper_iqa import HyperIQA, convert_hyperiqa
+    from torch_ref_models import TorchHyperIQA
+
+    t = TorchHyperIQA()
+    randomize_(t, seed=31, scale=0.05)
+    g = torch.Generator().manual_seed(32)
+    with torch.no_grad():
+        for m in t.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.copy_(torch.randn(m.running_mean.shape, generator=g) * 0.1)
+                m.running_var.copy_(torch.rand(m.running_var.shape, generator=g) + 0.5)
+    t.eval()
+
+    variables = convert_hyperiqa(
+        {k: v.detach().numpy() for k, v in t.state_dict().items()}
+    )
+    f = HyperIQA()
+
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal((1, 224, 224, 3)).astype(np.float32)
+    with torch.no_grad():
+        t_out = t(torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))).numpy()
+    f_out = np.asarray(f.apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(f_out, t_out[:, 0], atol=1e-3, rtol=1e-3)

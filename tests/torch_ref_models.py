@@ -1347,3 +1347,109 @@ class TorchParseNet(nn.Module):
         x = feat + self.body(feat)
         x = self.decoder(x)
         return self.out_mask_conv(x), self.out_img_conv(x)
+
+
+class _IQABottleneck(nn.Module):
+    def __init__(self, cin, planes, stride=1, downsample=None):
+        super().__init__()
+        self.conv1 = nn.Conv2d(cin, planes, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, stride, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(planes * 4)
+        self.downsample = downsample
+
+    def forward(self, x):
+        r = x if self.downsample is None else self.downsample(x)
+        h = F.relu(self.bn1(self.conv1(x)))
+        h = F.relu(self.bn2(self.conv2(h)))
+        h = self.bn3(self.conv3(h))
+        return F.relu(h + r)
+
+
+class TorchHyperIQA(nn.Module):
+    """HyperNet + TargetNet fused forward (ref:eval/hyper_iqa.py:19-121,
+    123-156, 220-330) at the released operating point
+    (16, 112, 224, 112, 56, 28, 14, 7)."""
+
+    def __init__(self):
+        super().__init__()
+
+        class _Res(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.inplanes = 64
+                self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+                self.bn1 = nn.BatchNorm2d(64)
+                self.maxpool = nn.MaxPool2d(3, 2, 1)
+                self.layer1 = self._make(64, 3, 1)
+                self.layer2 = self._make(128, 4, 2)
+                self.layer3 = self._make(256, 6, 2)
+                self.layer4 = self._make(512, 3, 2)
+                self.lda1_pool = nn.Sequential(
+                    nn.Conv2d(256, 16, 1, bias=False), nn.AvgPool2d(7, 7))
+                self.lda1_fc = nn.Linear(16 * 64, 16)
+                self.lda2_pool = nn.Sequential(
+                    nn.Conv2d(512, 32, 1, bias=False), nn.AvgPool2d(7, 7))
+                self.lda2_fc = nn.Linear(32 * 16, 16)
+                self.lda3_pool = nn.Sequential(
+                    nn.Conv2d(1024, 64, 1, bias=False), nn.AvgPool2d(7, 7))
+                self.lda3_fc = nn.Linear(64 * 4, 16)
+                self.lda4_pool = nn.AvgPool2d(7, 7)
+                self.lda4_fc = nn.Linear(2048, 224 - 48)
+
+            def _make(self, planes, n, stride):
+                down = nn.Sequential(
+                    nn.Conv2d(self.inplanes, planes * 4, 1, stride, bias=False),
+                    nn.BatchNorm2d(planes * 4))
+                blocks = [_IQABottleneck(self.inplanes, planes, stride, down)]
+                self.inplanes = planes * 4
+                for _ in range(1, n):
+                    blocks.append(_IQABottleneck(self.inplanes, planes))
+                return nn.Sequential(*blocks)
+
+            def forward(self, x):
+                x = self.maxpool(F.relu(self.bn1(self.conv1(x))))
+                x = self.layer1(x)
+                l1 = self.lda1_fc(self.lda1_pool(x).reshape(x.size(0), -1))
+                x = self.layer2(x)
+                l2 = self.lda2_fc(self.lda2_pool(x).reshape(x.size(0), -1))
+                x = self.layer3(x)
+                l3 = self.lda3_fc(self.lda3_pool(x).reshape(x.size(0), -1))
+                x = self.layer4(x)
+                l4 = self.lda4_fc(self.lda4_pool(x).reshape(x.size(0), -1))
+                return x, torch.cat((l1, l2, l3, l4), 1)
+
+        self.res = _Res()
+        self.pool = nn.AdaptiveAvgPool2d((1, 1))
+        self.conv1 = nn.Sequential(
+            nn.Conv2d(2048, 1024, 1), nn.ReLU(inplace=True),
+            nn.Conv2d(1024, 512, 1), nn.ReLU(inplace=True),
+            nn.Conv2d(512, 112, 1), nn.ReLU(inplace=True))
+        self.fc1w_conv = nn.Conv2d(112, 224 * 112 // 49, 3, padding=1)
+        self.fc1b_fc = nn.Linear(112, 112)
+        self.fc2w_conv = nn.Conv2d(112, 112 * 56 // 49, 3, padding=1)
+        self.fc2b_fc = nn.Linear(112, 56)
+        self.fc3w_conv = nn.Conv2d(112, 56 * 28 // 49, 3, padding=1)
+        self.fc3b_fc = nn.Linear(112, 28)
+        self.fc4w_conv = nn.Conv2d(112, 28 * 14 // 49, 3, padding=1)
+        self.fc4b_fc = nn.Linear(112, 14)
+        self.fc5w_fc = nn.Linear(112, 14)
+        self.fc5b_fc = nn.Linear(112, 1)
+
+    def forward(self, img):
+        c5, vec = self.res(img)
+        hfeat = self.conv1(c5)  # (B, 112, 7, 7)
+        pooled = self.pool(hfeat).squeeze(-1).squeeze(-1)
+        b = img.shape[0]
+        dims = [224, 112, 56, 28, 14]
+        v = vec
+        for i, wc in enumerate((self.fc1w_conv, self.fc2w_conv,
+                                self.fc3w_conv, self.fc4w_conv)):
+            w = wc(hfeat).reshape(b, dims[i + 1], dims[i])
+            bias = getattr(self, f"fc{i + 1}b_fc")(pooled)
+            v = torch.sigmoid(torch.einsum("boi,bi->bo", w, v) + bias)
+        w5 = self.fc5w_fc(pooled)
+        b5 = self.fc5b_fc(pooled)
+        return (w5 * v).sum(-1, keepdim=True) + b5
