@@ -44,6 +44,18 @@ class VideoViTConfig:
         return cls(patch_size=16, embed_dim=64, depth=2, num_heads=4, mlp_ratio=4.0)
 
 
+def sinusoid_encoding_table(n_position: int, d_hid: int) -> np.ndarray:
+    """(ref:videomaev2_finetune.py:357-368): position_angle_vec with
+    sin on even dims, cos on odd dims."""
+    pos = np.arange(n_position)[:, None]
+    i = np.arange(d_hid)[None, :]
+    angle = pos / np.power(10000, 2 * (i // 2) / d_hid)
+    table = np.zeros((n_position, d_hid), np.float32)
+    table[:, 0::2] = np.sin(angle[:, 0::2])
+    table[:, 1::2] = np.cos(angle[:, 1::2])
+    return table
+
+
 class ViTBlock(nn.Module):
     dim: int
     heads: int
@@ -87,14 +99,17 @@ class VideoViT(nn.Module):
         )(video.astype(self.dtype))
         x = x.reshape(b, -1, cfg.embed_dim)
         n = x.shape[1]
-        pos = self.param("pos_embed", nn.initializers.normal(0.02),
-                         (1, n, cfg.embed_dim))
-        x = x + pos.astype(self.dtype)
+        # FIXED sinusoid position table — the finetune model uses
+        # use_learnable_pos_emb=False so the released checkpoint carries
+        # no pos_embed parameter (ref:videomaev2_finetune.py:357-420)
+        x = x + jnp.asarray(sinusoid_encoding_table(n, cfg.embed_dim),
+                            self.dtype)[None]
         for i in range(cfg.depth):
             x = ViTBlock(cfg.embed_dim, cfg.num_heads, cfg.mlp_ratio,
                          dtype=self.dtype, name=f"blocks_{i}")(x)
-        x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
-        return x.mean(axis=1)
+        # use_mean_pooling head: mean FIRST, then fc_norm
+        # (ref:videomaev2_finetune.py:519-520)
+        return nn.LayerNorm(dtype=jnp.float32, name="fc_norm")(x.mean(axis=1))
 
 
 class TREPALoss:
@@ -135,3 +150,59 @@ class TREPALoss:
         fa = fa / jnp.maximum(jnp.linalg.norm(fa, axis=-1, keepdims=True), 1e-10)
         fb = fb / jnp.maximum(jnp.linalg.norm(fb, axis=-1, keepdims=True), 1e-10)
         return jnp.mean((fa - fb) ** 2)
+
+
+def convert_videomae(sd):
+    """vit_g_hybrid_pt_1200e_ssv2_ft.pth ({'module'} or flat) → VideoViT
+    params. Torch naming (ref:videomaev2_finetune.py): patch_embed.proj,
+    blocks.N.{norm1,norm2,attn.{qkv,q_bias,v_bias,proj},mlp.{fc1,fc2}},
+    fc_norm; the attention qkv bias is the concat [q_bias, 0, v_bias]
+    (qkv Linear itself is bias-free upstream). head/head_dropout are the
+    classifier — dropped (TREPA uses forward_features only)."""
+    import numpy as np
+
+    sd = sd.get("module", sd.get("model", sd))
+    params = {}
+    pend_qv = {}
+
+    def put(path, name, w):
+        node = params
+        for p in path:
+            node = node.setdefault(p, {})
+        node[name] = w
+
+    for key, w in sd.items():
+        parts = key.split(".")
+        leaf = parts[-1]
+        if parts[0] == "patch_embed":
+            if leaf == "weight":  # (E, 3, t, p, p) → (t, p, p, 3, E)
+                put(("patch_embed",), "kernel", np.transpose(w, (2, 3, 4, 1, 0)))
+            else:
+                put(("patch_embed",), "bias", w)
+        elif parts[0] == "blocks":
+            blk = f"blocks_{parts[1]}"
+            sub = parts[2]
+            if sub in ("norm1", "norm2"):
+                put((blk, sub), "scale" if leaf == "weight" else "bias", w)
+            elif sub == "attn":
+                inner = parts[3]
+                if inner == "qkv":
+                    put((blk, "qkv"), "kernel", w.T)
+                elif inner in ("q_bias", "v_bias"):
+                    pend_qv.setdefault(blk, {})[inner] = w
+                elif inner == "proj":
+                    put((blk, "proj"),
+                        "kernel" if leaf == "weight" else "bias",
+                        w.T if leaf == "weight" else w)
+            elif sub == "mlp":
+                put((blk, parts[3]),
+                    "kernel" if leaf == "weight" else "bias",
+                    w.T if leaf == "weight" else w)
+        elif parts[0] == "fc_norm":
+            put(("fc_norm",), "scale" if leaf == "weight" else "bias", w)
+        # head / head_dropout: classifier, unused by forward_features
+    for blk, qv in pend_qv.items():
+        qb, vb = qv["q_bias"], qv["v_bias"]
+        put((blk, "qkv"), "bias",
+            np.concatenate([qb, np.zeros_like(qb), vb]))
+    return {"params": params}

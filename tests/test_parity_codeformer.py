@@ -223,3 +223,37 @@ def test_hyperiqa_parity():
         t_out = t(torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))).numpy()
     f_out = np.asarray(f.apply(variables, jnp.asarray(x)))
     np.testing.assert_allclose(f_out, t_out[:, 0], atol=1e-3, rtol=1e-3)
+
+
+def test_videomae_parity():
+    """VideoMAEv2 video ViT (tubelet Conv3d patch embed, sinusoid
+    positions, packed qkv with separate q/v biases, mean-then-fc_norm
+    head) vs torch through convert_videomae."""
+    from latentsync_tpu.models.videomae import (
+        VideoViT,
+        VideoViTConfig,
+        convert_videomae,
+    )
+    from torch_ref_models import TorchVideoMAE
+
+    t = TorchVideoMAE(img=32, frames=4, patch=16, tubelet=2, dim=64,
+                      depth=2, heads=4)
+    randomize_(t, seed=37, scale=0.05)
+    t.eval()
+    params = convert_videomae(
+        {k: v.detach().numpy() for k, v in t.state_dict().items()}
+    )
+
+    cfg = VideoViTConfig(img_size=32, num_frames=4, patch_size=16,
+                         tubelet_size=2, embed_dim=64, depth=2,
+                         num_heads=4, mlp_ratio=4.0)
+    f = VideoViT(cfg)
+
+    rng = np.random.default_rng(9)
+    x = rng.uniform(0, 1, (2, 4, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        # torch layout (B, C, T, H, W)
+        t_out = t.forward_features(
+            torch.from_numpy(np.transpose(x, (0, 4, 1, 2, 3)))).numpy()
+    f_out = np.asarray(f.apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(f_out, t_out, atol=2e-4, rtol=2e-4)

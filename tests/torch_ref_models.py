@@ -16,6 +16,7 @@ the flax channels-last (B, F, H, W, C).
 """
 
 import math
+import numpy as np
 
 import torch
 import torch.nn as nn
@@ -1453,3 +1454,89 @@ class TorchHyperIQA(nn.Module):
         w5 = self.fc5w_fc(pooled)
         b5 = self.fc5b_fc(pooled)
         return (w5 * v).sum(-1, keepdim=True) + b5
+
+
+class TorchVideoMAEBlock(nn.Module):
+    """(ref:videomaev2_finetune.py:156-214, 261-322): qkv bias-free
+    Linear + separate q_bias/v_bias (k bias pinned to zero)."""
+
+    def __init__(self, dim, heads, mlp_ratio):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+        self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+
+        class _Attn(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.qkv = nn.Linear(dim, dim * 3, bias=False)
+                self.q_bias = nn.Parameter(torch.zeros(dim))
+                self.v_bias = nn.Parameter(torch.zeros(dim))
+                self.proj = nn.Linear(dim, dim)
+                self.heads = heads
+
+            def forward(self, x):
+                b, n, c = x.shape
+                bias = torch.cat([self.q_bias,
+                                  torch.zeros_like(self.v_bias), self.v_bias])
+                qkv = F.linear(x, self.qkv.weight, bias)
+                qkv = qkv.reshape(b, n, 3, self.heads, c // self.heads)
+                qkv = qkv.permute(2, 0, 3, 1, 4)
+                q, k, v = qkv[0], qkv[1], qkv[2]
+                o = F.scaled_dot_product_attention(q, k, v)
+                o = o.transpose(1, 2).reshape(b, n, c)
+                return self.proj(o)
+
+        self.attn = _Attn()
+
+        class _Mlp(nn.Module):
+            def __init__(self):
+                super().__init__()
+                hidden = int(dim * mlp_ratio)
+                self.fc1 = nn.Linear(dim, hidden)
+                self.fc2 = nn.Linear(hidden, dim)
+
+            def forward(self, x):
+                return self.fc2(F.gelu(self.fc1(x)))
+
+        self.mlp = _Mlp()
+
+    def forward(self, x):
+        x = x + self.attn(self.norm1(x))
+        return x + self.mlp(self.norm2(x))
+
+
+class TorchVideoMAE(nn.Module):
+    """Mean-pooling finetune VisionTransformer
+    (ref:videomaev2_finetune.py:372-528) with sinusoid positions."""
+
+    def __init__(self, img=32, frames=4, patch=16, tubelet=2, dim=64,
+                 depth=2, heads=4, mlp_ratio=4.0):
+        super().__init__()
+
+        class _Patch(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.proj = nn.Conv3d(3, dim, (tubelet, patch, patch),
+                                      (tubelet, patch, patch))
+
+        self.patch_embed = _Patch()
+        n = (frames // tubelet) * (img // patch) ** 2
+        pos = np.zeros((n, dim), np.float32)
+        p = np.arange(n)[:, None]
+        i = np.arange(dim)[None, :]
+        ang = p / np.power(10000, 2 * (i // 2) / dim)
+        pos[:, 0::2] = np.sin(ang[:, 0::2])
+        pos[:, 1::2] = np.cos(ang[:, 1::2])
+        self.register_buffer("pos_embed", torch.from_numpy(pos)[None])
+        self.blocks = nn.ModuleList([
+            TorchVideoMAEBlock(dim, heads, mlp_ratio) for _ in range(depth)])
+        self.fc_norm = nn.LayerNorm(dim, eps=1e-6)
+
+    def forward_features(self, x):
+        x = self.patch_embed.proj(x)          # (B, C, t, h, w)
+        b, c = x.shape[:2]
+        x = x.flatten(2).transpose(1, 2)      # (B, N, C)
+        x = x + self.pos_embed
+        for blk in self.blocks:
+            x = blk(x)
+        return self.fc_norm(x.mean(1))
