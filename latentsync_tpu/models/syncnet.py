@@ -21,6 +21,7 @@ from typing import Any, Sequence, Tuple, Union
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 import math
 
@@ -167,36 +168,116 @@ class StableSyncNet(nn.Module):
 
 
 class Wav2LipSyncNet(nn.Module):
-    """Ablation-only Wav2Lip-style SyncNet (ref:latentsync/models/
-    wav2lip_syncnet.py:8-90): plain conv towers with BN+ReLU, visual
-    input 15 stacked half-frames, audio 1×80×16 mel."""
+    """Wav2Lip-style SyncNet ablation model (ref:latentsync/models/
+    wav2lip_syncnet.py:8-90): exact conv/BN tower stacks — 21 visual +
+    16 audio Conv2d blocks with in-place residuals added BEFORE the
+    activation. Visual input (B, 128, 256, 15) stacked half-frames,
+    audio (B, 80, 16, 1) mel; both towers reduce to 1×1×1024 and
+    L2-normalize."""
 
+    act_fn: str = "relu"
     dtype: jnp.dtype = jnp.float32
 
-    def _conv(self, x, ch, kernel, strides, name, act=True):
-        x = nn.Conv(ch, kernel, strides=strides, padding="SAME",
-                    dtype=self.dtype, name=f"{name}_conv")(x)
-        x = nn.BatchNorm(use_running_average=True, dtype=jnp.float32,
-                         name=f"{name}_bn")(x)
-        return nn.relu(x) if act else x
+    # (cout, kernel, stride, padding, residual, act_override)
+    VISUAL = (
+        (32, 7, 1, 3, False, None), (64, 5, (1, 2), 1, False, None),
+        (64, 3, 1, 1, True, None), (64, 3, 1, 1, True, None),
+        (128, 3, 2, 1, False, None),
+        (128, 3, 1, 1, True, None), (128, 3, 1, 1, True, None),
+        (128, 3, 1, 1, True, None),
+        (256, 3, 3, 1, False, None),
+        (256, 3, 1, 1, True, None), (256, 3, 1, 1, True, None),
+        (512, 3, 2, 1, False, None),
+        (512, 3, 1, 1, True, None), (512, 3, 1, 1, True, None),
+        (1024, 3, 2, 1, False, None),
+        (1024, 3, 1, 1, True, None), (1024, 3, 1, 1, True, None),
+        (1024, 3, 2, 1, False, "relu"),
+        (1024, 3, 1, 0, False, "relu"),
+        (1024, 1, 1, 0, False, "relu"),
+    )
+    AUDIO = (
+        (32, 3, 1, 1, False, None),
+        (32, 3, 1, 1, True, None), (32, 3, 1, 1, True, None),
+        (64, 3, (3, 1), 1, False, None),
+        (64, 3, 1, 1, True, None), (64, 3, 1, 1, True, None),
+        (128, 3, 3, 1, False, None),
+        (128, 3, 1, 1, True, None), (128, 3, 1, 1, True, None),
+        (256, 3, (3, 2), 1, False, None),
+        (256, 3, 1, 1, True, None), (256, 3, 1, 1, True, None),
+        (512, 3, 1, 1, False, None),
+        (512, 3, 1, 1, True, None), (512, 3, 1, 1, True, None),
+        (1024, 3, 1, 0, False, "relu"),
+        (1024, 1, 1, 0, False, "relu"),
+    )
+
+    def _act(self, x, act):
+        act = act or self.act_fn
+        if act == "relu":
+            return nn.relu(x)
+        if act == "leaky":
+            return jax.nn.leaky_relu(x, 0.2)
+        if act == "silu":
+            return nn.silu(x)
+        if act == "tanh":
+            return jnp.tanh(x)
+        raise ValueError(act)
+
+    def _tower(self, x, specs, prefix):
+        for i, (ch, k, s, p, res, act) in enumerate(specs):
+            ks = (k, k)
+            st = s if isinstance(s, tuple) else (s, s)
+            h = nn.Conv(ch, ks, strides=st, padding=p, dtype=self.dtype,
+                        name=f"{prefix}_{i}_conv")(x)
+            h = nn.BatchNorm(use_running_average=True, dtype=jnp.float32,
+                             name=f"{prefix}_{i}_bn")(h)
+            if res:
+                h = h + x
+            x = self._act(h, act).astype(self.dtype)
+        return x
 
     @nn.compact
     def __call__(self, faces, audio):
-        v = faces
-        for i, (ch, k, s) in enumerate(
-            [(32, 7, 1), (64, 5, 2), (128, 3, 2), (256, 3, 2), (512, 3, 2), (512, 3, 2)]
-        ):
-            v = self._conv(v, ch, (k, k), (s, s), f"face_{i}")
-        v = v.mean(axis=(1, 2))
-
-        a = audio
-        for i, (ch, k, s) in enumerate(
-            [(32, 3, 1), (64, 3, (3, 1)), (128, 3, 2), (256, 3, 2), (512, 3, 2)]
-        ):
-            s2 = s if isinstance(s, tuple) else (s, s)
-            a = self._conv(a, ch, (k, k), s2, f"audio_{i}")
-        a = a.mean(axis=(1, 2))
-
+        v = self._tower(faces.astype(self.dtype), self.VISUAL, "visual_encoder")
+        a = self._tower(audio.astype(self.dtype), self.AUDIO, "audio_encoder")
+        v = v.reshape(v.shape[0], -1).astype(jnp.float32)
+        a = a.reshape(a.shape[0], -1).astype(jnp.float32)
         v = v / jnp.maximum(jnp.linalg.norm(v, axis=1, keepdims=True), 1e-12)
         a = a / jnp.maximum(jnp.linalg.norm(a, axis=1, keepdims=True), 1e-12)
         return v, a
+
+
+def convert_wav2lip_syncnet(sd):
+    """wav2lip SyncNet state dict → Wav2LipSyncNet params (torch naming:
+    {visual,audio}_encoder.N.conv_block.0 conv / .1 BatchNorm)."""
+    params = {}
+    stats = {}
+
+    def put(tree, path, name, w):
+        node = tree
+        for p in path:
+            node = node.setdefault(p, {})
+        node[name] = w
+
+    for key, w in sd.items():
+        if key.endswith("num_batches_tracked"):
+            continue
+        parts = key.split(".")
+        leaf = parts[-1]
+        tower, i, _, j = parts[0], parts[1], parts[2], parts[3]
+        if j == "0":  # conv
+            if leaf == "weight":
+                put(params, (f"{tower}_{i}_conv",), "kernel",
+                    np.transpose(w, (2, 3, 1, 0)))
+            else:
+                put(params, (f"{tower}_{i}_conv",), "bias", w)
+        else:  # bn
+            base = (f"{tower}_{i}_bn",)
+            if leaf == "weight":
+                put(params, base, "scale", w)
+            elif leaf == "bias":
+                put(params, base, "bias", w)
+            elif leaf == "running_mean":
+                put(stats, base, "mean", w)
+            elif leaf == "running_var":
+                put(stats, base, "var", w)
+    return {"params": params, "batch_stats": stats}

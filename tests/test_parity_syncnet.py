@@ -208,3 +208,38 @@ def test_retinaface_parity():
             np.testing.assert_allclose(
                 np.transpose(np.asarray(f_outs[lvl][k]), (0, 3, 1, 2)),
                 t_outs[lvl][k].numpy(), atol=2e-3, rtol=2e-3)
+
+
+def test_wav2lip_syncnet_parity():
+    """The Wav2Lip-style ablation SyncNet (21 visual / 16 audio Conv2d
+    blocks with pre-activation residuals) vs torch through
+    convert_wav2lip_syncnet at the real input geometry."""
+    from latentsync_tpu.models.syncnet import (
+        Wav2LipSyncNet,
+        convert_wav2lip_syncnet,
+    )
+    from torch_ref_models import TorchWav2LipSyncNet
+
+    t = TorchWav2LipSyncNet()
+    randomize_(t, seed=41, scale=0.05)
+    g = torch.Generator().manual_seed(42)
+    with torch.no_grad():
+        for m in t.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.copy_(torch.randn(m.running_mean.shape, generator=g) * 0.1)
+                m.running_var.copy_(torch.rand(m.running_var.shape, generator=g) + 0.5)
+    t.eval()
+    variables = convert_wav2lip_syncnet(
+        {k: v.detach().numpy() for k, v in t.state_dict().items()}
+    )
+    f = Wav2LipSyncNet()
+
+    rng = np.random.default_rng(10)
+    frames = rng.standard_normal((2, 128, 256, 15)).astype(np.float32)
+    mels = rng.standard_normal((2, 80, 16, 1)).astype(np.float32)
+    with torch.no_grad():
+        tv, ta = t(torch.from_numpy(np.transpose(frames, (0, 3, 1, 2))),
+                   torch.from_numpy(np.transpose(mels, (0, 3, 1, 2))))
+    fv, fa = f.apply(variables, jnp.asarray(frames), jnp.asarray(mels))
+    np.testing.assert_allclose(np.asarray(fv), tv.numpy(), atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(fa), ta.numpy(), atol=2e-3, rtol=2e-3)

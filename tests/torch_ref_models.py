@@ -1540,3 +1540,63 @@ class TorchVideoMAE(nn.Module):
         for blk in self.blocks:
             x = blk(x)
         return self.fc_norm(x.mean(1))
+
+
+class _W2LConv(nn.Module):
+    """(ref:latentsync/models/wav2lip_syncnet.py:71-90)."""
+
+    def __init__(self, cin, cout, k, s, p, residual=False, act="relu"):
+        super().__init__()
+        self.conv_block = nn.Sequential(
+            nn.Conv2d(cin, cout, k, s, p), nn.BatchNorm2d(cout))
+        self.residual = residual
+        self.act = act
+
+    def forward(self, x):
+        out = self.conv_block(x)
+        if self.residual:
+            out = out + x
+        return {"relu": F.relu, "leaky": lambda t: F.leaky_relu(t, 0.2),
+                "silu": F.silu, "tanh": torch.tanh}[self.act](out)
+
+
+class TorchWav2LipSyncNet(nn.Module):
+    """(ref:latentsync/models/wav2lip_syncnet.py:8-69), act_fn relu."""
+
+    def __init__(self):
+        super().__init__()
+        self.visual_encoder = nn.Sequential(
+            _W2LConv(15, 32, 7, 1, 3), _W2LConv(32, 64, 5, (1, 2), 1),
+            _W2LConv(64, 64, 3, 1, 1, True), _W2LConv(64, 64, 3, 1, 1, True),
+            _W2LConv(64, 128, 3, 2, 1),
+            _W2LConv(128, 128, 3, 1, 1, True), _W2LConv(128, 128, 3, 1, 1, True),
+            _W2LConv(128, 128, 3, 1, 1, True),
+            _W2LConv(128, 256, 3, 3, 1),
+            _W2LConv(256, 256, 3, 1, 1, True), _W2LConv(256, 256, 3, 1, 1, True),
+            _W2LConv(256, 512, 3, 2, 1),
+            _W2LConv(512, 512, 3, 1, 1, True), _W2LConv(512, 512, 3, 1, 1, True),
+            _W2LConv(512, 1024, 3, 2, 1),
+            _W2LConv(1024, 1024, 3, 1, 1, True), _W2LConv(1024, 1024, 3, 1, 1, True),
+            _W2LConv(1024, 1024, 3, 2, 1),
+            _W2LConv(1024, 1024, 3, 1, 0),
+            _W2LConv(1024, 1024, 1, 1, 0),
+        )
+        self.audio_encoder = nn.Sequential(
+            _W2LConv(1, 32, 3, 1, 1),
+            _W2LConv(32, 32, 3, 1, 1, True), _W2LConv(32, 32, 3, 1, 1, True),
+            _W2LConv(32, 64, 3, (3, 1), 1),
+            _W2LConv(64, 64, 3, 1, 1, True), _W2LConv(64, 64, 3, 1, 1, True),
+            _W2LConv(64, 128, 3, 3, 1),
+            _W2LConv(128, 128, 3, 1, 1, True), _W2LConv(128, 128, 3, 1, 1, True),
+            _W2LConv(128, 256, 3, (3, 2), 1),
+            _W2LConv(256, 256, 3, 1, 1, True), _W2LConv(256, 256, 3, 1, 1, True),
+            _W2LConv(256, 512, 3, 1, 1),
+            _W2LConv(512, 512, 3, 1, 1, True), _W2LConv(512, 512, 3, 1, 1, True),
+            _W2LConv(512, 1024, 3, 1, 0),
+            _W2LConv(1024, 1024, 1, 1, 0),
+        )
+
+    def forward(self, frames, mels):
+        v = self.visual_encoder(frames).reshape(frames.shape[0], -1)
+        a = self.audio_encoder(mels).reshape(mels.shape[0], -1)
+        return F.normalize(v, p=2, dim=1), F.normalize(a, p=2, dim=1)
