@@ -257,3 +257,36 @@ def test_videomae_parity():
             torch.from_numpy(np.transpose(x, (0, 4, 1, 2, 3)))).numpy()
     f_out = np.asarray(f.apply(params, jnp.asarray(x)))
     np.testing.assert_allclose(f_out, t_out, atol=2e-4, rtol=2e-4)
+
+
+def test_bisenet_parity():
+    """BiSeNet face parser (ResNet18 context path, ARM/FFM attention,
+    align_corners bilinear heads) vs torch through convert_bisenet —
+    numerical extension of the key-bijection test."""
+    from latentsync_tpu.models.parsing import BiSeNet
+    from latentsync_tpu.utils.convert_eval import convert_bisenet
+    from torch_ref_models import TorchBiSeNet
+
+    t = TorchBiSeNet()
+    randomize_(t, seed=47, scale=0.05)
+    g = torch.Generator().manual_seed(48)
+    with torch.no_grad():
+        for m in t.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.copy_(torch.randn(m.running_mean.shape, generator=g) * 0.1)
+                m.running_var.copy_(torch.rand(m.running_var.shape, generator=g) + 0.5)
+    t.eval()
+    variables = convert_bisenet(
+        {k: v.detach().numpy() for k, v in t.state_dict().items()}
+    )
+    f = BiSeNet()
+
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal((1, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        t_outs = t(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    f_outs = f.apply(variables, jnp.asarray(x))
+    for fo, to in zip(f_outs, t_outs):
+        np.testing.assert_allclose(
+            np.transpose(np.asarray(fo), (0, 3, 1, 2)), to.numpy(),
+            atol=2e-3, rtol=2e-3)

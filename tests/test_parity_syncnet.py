@@ -243,3 +243,37 @@ def test_wav2lip_syncnet_parity():
     fv, fa = f.apply(variables, jnp.asarray(frames), jnp.asarray(mels))
     np.testing.assert_allclose(np.asarray(fv), tv.numpy(), atol=2e-3, rtol=2e-3)
     np.testing.assert_allclose(np.asarray(fa), ta.numpy(), atol=2e-3, rtol=2e-3)
+
+
+def test_fan_parity():
+    """2D-FAN stacked hourglass landmark regressor vs the face_alignment
+    torch layout through convert_fan — validates the converter NUMBERS
+    (the pre-existing test only checked key bijection)."""
+    from latentsync_tpu.models.face_detection import FAN2D
+    from latentsync_tpu.utils.convert_eval import convert_fan
+    from torch_ref_models import TorchFAN
+
+    t = TorchFAN(num_modules=2)
+    randomize_(t, seed=43, scale=0.05)
+    g = torch.Generator().manual_seed(44)
+    with torch.no_grad():
+        for m in t.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.copy_(torch.randn(m.running_mean.shape, generator=g) * 0.1)
+                m.running_var.copy_(torch.rand(m.running_var.shape, generator=g) + 0.5)
+    t.eval()
+    variables = convert_fan(
+        {k: v.detach().numpy() for k, v in t.state_dict().items()}
+    )
+    f = FAN2D(num_modules=2)
+
+    rng = np.random.default_rng(11)
+    x = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        t_outs = t(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    f_outs = f.apply(variables, jnp.asarray(x))
+    assert len(f_outs) == len(t_outs) == 2
+    for fo, to in zip(f_outs, t_outs):
+        np.testing.assert_allclose(
+            np.transpose(np.asarray(fo), (0, 3, 1, 2)), to.numpy(),
+            atol=2e-3, rtol=2e-3)

@@ -155,3 +155,36 @@ def test_detector_wrapper_runs():
     img = (np.random.default_rng(0).uniform(0, 255, (96, 72, 3))).astype(np.uint8)
     out = det.detect(img, conf_thres=0.0)  # random weights → just shape/scale
     assert out.ndim == 2 and out.shape[1] == 15
+
+
+def test_yolov5face_parity():
+    """Full numerical parity vs a torch mirror of the yolov5n-face graph
+    (stem maxpool-concat order, shuffle branch structure, C3 necks,
+    grid/anchor decode) through convert_yolov5face."""
+    import torch
+
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from torch_ref_models import TorchYOLOv5nFace, randomize_
+
+    t = TorchYOLOv5nFace()
+    randomize_(t, seed=51, scale=0.05)
+    g = torch.Generator().manual_seed(52)
+    with torch.no_grad():
+        for m in t.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.copy_(torch.randn(m.running_mean.shape, generator=g) * 0.1)
+                m.running_var.copy_(torch.rand(m.running_var.shape, generator=g) + 0.5)
+    t.eval()
+    variables = convert_yolov5face(
+        {k: v.detach().numpy() for k, v in t.state_dict().items()}
+    )
+    f = YOLOv5nFace()
+
+    rng = np.random.default_rng(13)
+    x = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        t_out = t(torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))).numpy()
+    f_out = np.asarray(f.apply(variables, jnp.asarray(x)))
+    assert f_out.shape == t_out.shape
+    np.testing.assert_allclose(f_out, t_out, atol=3e-3, rtol=3e-3)

@@ -1600,3 +1600,400 @@ class TorchWav2LipSyncNet(nn.Module):
         v = self.visual_encoder(frames).reshape(frames.shape[0], -1)
         a = self.audio_encoder(mels).reshape(mels.shape[0], -1)
         return F.normalize(v, p=2, dim=1), F.normalize(a, p=2, dim=1)
+
+
+class TorchFANConvBlock(nn.Module):
+    """face_alignment ConvBlock: bn-relu-conv ×3 with a 3-way concat and
+    optional bn-relu-1×1 downsample shortcut."""
+
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.bn1 = nn.BatchNorm2d(cin)
+        self.conv1 = nn.Conv2d(cin, cout // 2, 3, padding=1, bias=False)
+        self.bn2 = nn.BatchNorm2d(cout // 2)
+        self.conv2 = nn.Conv2d(cout // 2, cout // 4, 3, padding=1, bias=False)
+        self.bn3 = nn.BatchNorm2d(cout // 4)
+        self.conv3 = nn.Conv2d(cout // 4, cout // 4, 3, padding=1, bias=False)
+        if cin != cout:
+            self.downsample = nn.Sequential(
+                nn.BatchNorm2d(cin), nn.ReLU(True),
+                nn.Conv2d(cin, cout, 1, bias=False))
+        else:
+            self.downsample = None
+
+    def forward(self, x):
+        y1 = self.conv1(F.relu(self.bn1(x)))
+        y2 = self.conv2(F.relu(self.bn2(y1)))
+        y3 = self.conv3(F.relu(self.bn3(y2)))
+        out = torch.cat([y1, y2, y3], dim=1)
+        res = x if self.downsample is None else self.downsample(x)
+        return out + res
+
+
+class TorchHourGlass(nn.Module):
+    def __init__(self, depth=4, feat=256):
+        super().__init__()
+        self.depth = depth
+        for lvl in range(1, depth + 1):
+            setattr(self, f"b1_{lvl}", TorchFANConvBlock(feat, feat))
+            setattr(self, f"b2_{lvl}", TorchFANConvBlock(feat, feat))
+            setattr(self, f"b3_{lvl}", TorchFANConvBlock(feat, feat))
+        self.b2_plus_1 = TorchFANConvBlock(feat, feat)
+
+    def _forward(self, level, x):
+        up1 = getattr(self, f"b1_{level}")(x)
+        low = F.avg_pool2d(x, 2, 2)
+        low = getattr(self, f"b2_{level}")(low)
+        if level > 1:
+            low = self._forward(level - 1, low)
+        else:
+            low = self.b2_plus_1(low)
+        low = getattr(self, f"b3_{level}")(low)
+        up2 = F.interpolate(low, scale_factor=2, mode="nearest")
+        return up1 + up2
+
+    def forward(self, x):
+        return self._forward(self.depth, x)
+
+
+class TorchFAN(nn.Module):
+    """face_alignment 2DFAN (num_modules stacked hourglasses)."""
+
+    def __init__(self, num_modules=2):
+        super().__init__()
+        self.num_modules = num_modules
+        self.conv1 = nn.Conv2d(3, 64, 7, 2, 3)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.conv2 = TorchFANConvBlock(64, 128)
+        self.conv3 = TorchFANConvBlock(128, 128)
+        self.conv4 = TorchFANConvBlock(128, 256)
+        for i in range(num_modules):
+            setattr(self, f"m{i}", TorchHourGlass())
+            setattr(self, f"top_m_{i}", TorchFANConvBlock(256, 256))
+            setattr(self, f"conv_last{i}", nn.Conv2d(256, 256, 1))
+            setattr(self, f"bn_end{i}", nn.BatchNorm2d(256))
+            setattr(self, f"l{i}", nn.Conv2d(256, 68, 1))
+            if i < num_modules - 1:
+                setattr(self, f"bl{i}", nn.Conv2d(256, 256, 1))
+                setattr(self, f"al{i}", nn.Conv2d(68, 256, 1))
+
+    def forward(self, x):
+        x = F.relu(self.bn1(self.conv1(x)), True)
+        x = F.avg_pool2d(self.conv2(x), 2, 2)
+        x = self.conv4(self.conv3(x))
+        outputs = []
+        prev = x
+        for i in range(self.num_modules):
+            hg = getattr(self, f"m{i}")(prev)
+            ll = getattr(self, f"top_m_{i}")(hg)
+            ll = F.relu(getattr(self, f"bn_end{i}")(
+                getattr(self, f"conv_last{i}")(ll)), True)
+            heat = getattr(self, f"l{i}")(ll)
+            outputs.append(heat)
+            if i < self.num_modules - 1:
+                prev = prev + getattr(self, f"bl{i}")(ll) + \
+                    getattr(self, f"al{i}")(heat)
+        return outputs
+
+
+class _BNConvBNReLU(nn.Module):
+    def __init__(self, cin, cout, ks=3, stride=1, padding=1):
+        super().__init__()
+        self.conv = nn.Conv2d(cin, cout, ks, stride, padding, bias=False)
+        self.bn = nn.BatchNorm2d(cout)
+
+    def forward(self, x):
+        return F.relu(self.bn(self.conv(x)))
+
+
+class _BNBasicBlock(nn.Module):
+    def __init__(self, cin, cout, stride=1):
+        super().__init__()
+        self.conv1 = nn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(cout)
+        self.conv2 = nn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(cout)
+        self.downsample = None
+        if cin != cout or stride != 1:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(cin, cout, 1, stride, bias=False),
+                nn.BatchNorm2d(cout))
+
+    def forward(self, x):
+        r = x if self.downsample is None else self.downsample(x)
+        h = F.relu(self.bn1(self.conv1(x)))
+        h = self.bn2(self.conv2(h))
+        return F.relu(h + r)
+
+
+class TorchBiSeNet(nn.Module):
+    """(ref:facelib/parsing/bisenet.py + resnet.py): ResNet18 context
+    path with ARM attention, FFM fusion, three output heads upsampled
+    bilinear align_corners=True."""
+
+    def __init__(self, num_class=19):
+        super().__init__()
+
+        class _Res(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+                self.bn1 = nn.BatchNorm2d(64)
+                self.maxpool = nn.MaxPool2d(3, 2, 1)
+                self.layer1 = nn.Sequential(_BNBasicBlock(64, 64), _BNBasicBlock(64, 64))
+                self.layer2 = nn.Sequential(_BNBasicBlock(64, 128, 2), _BNBasicBlock(128, 128))
+                self.layer3 = nn.Sequential(_BNBasicBlock(128, 256, 2), _BNBasicBlock(256, 256))
+                self.layer4 = nn.Sequential(_BNBasicBlock(256, 512, 2), _BNBasicBlock(512, 512))
+
+            def forward(self, x):
+                x = self.maxpool(F.relu(self.bn1(self.conv1(x))))
+                x = self.layer1(x)
+                f8 = self.layer2(x)
+                f16 = self.layer3(f8)
+                f32 = self.layer4(f16)
+                return f8, f16, f32
+
+        class _ARM(nn.Module):
+            def __init__(self, cin, cout):
+                super().__init__()
+                self.conv = _BNConvBNReLU(cin, cout)
+                self.conv_atten = nn.Conv2d(cout, cout, 1, bias=False)
+                self.bn_atten = nn.BatchNorm2d(cout)
+
+            def forward(self, x):
+                feat = self.conv(x)
+                a = F.avg_pool2d(feat, feat.shape[2:])
+                a = torch.sigmoid(self.bn_atten(self.conv_atten(a)))
+                return feat * a
+
+        class _CP(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.resnet = _Res()
+                self.arm16 = _ARM(256, 128)
+                self.arm32 = _ARM(512, 128)
+                self.conv_head32 = _BNConvBNReLU(128, 128)
+                self.conv_head16 = _BNConvBNReLU(128, 128)
+                self.conv_avg = _BNConvBNReLU(512, 128, 1, 1, 0)
+
+            def forward(self, x):
+                f8, f16, f32 = self.resnet(x)
+                avg = self.conv_avg(F.avg_pool2d(f32, f32.shape[2:]))
+                avg_up = F.interpolate(avg, f32.shape[2:], mode="nearest")
+                f32s = self.arm32(f32) + avg_up
+                f32u = self.conv_head32(
+                    F.interpolate(f32s, f16.shape[2:], mode="nearest"))
+                f16s = self.arm16(f16) + f32u
+                f16u = self.conv_head16(
+                    F.interpolate(f16s, f8.shape[2:], mode="nearest"))
+                return f8, f16u, f32u
+
+        class _FFM(nn.Module):
+            def __init__(self, cin, cout):
+                super().__init__()
+                self.convblk = _BNConvBNReLU(cin, cout, 1, 1, 0)
+                self.conv1 = nn.Conv2d(cout, cout // 4, 1, bias=False)
+                self.conv2 = nn.Conv2d(cout // 4, cout, 1, bias=False)
+
+            def forward(self, sp, cp):
+                feat = self.convblk(torch.cat([sp, cp], dim=1))
+                a = F.avg_pool2d(feat, feat.shape[2:])
+                a = torch.sigmoid(self.conv2(F.relu(self.conv1(a))))
+                return feat * a + feat
+
+        class _Out(nn.Module):
+            def __init__(self, cin, mid, n):
+                super().__init__()
+                self.conv = _BNConvBNReLU(cin, mid)
+                self.conv_out = nn.Conv2d(mid, n, 1, bias=False)
+
+            def forward(self, x):
+                feat = self.conv(x)
+                return self.conv_out(feat), feat
+
+        self.cp = _CP()
+        self.ffm = _FFM(256, 256)
+        self.conv_out = _Out(256, 256, num_class)
+        self.conv_out16 = _Out(128, 64, num_class)
+        self.conv_out32 = _Out(128, 64, num_class)
+
+    def forward(self, x):
+        h, w = x.shape[2:]
+        f8, cp8, cp16 = self.cp(x)
+        fuse = self.ffm(f8, cp8)
+        out, _ = self.conv_out(fuse)
+        out16, _ = self.conv_out16(cp8)
+        out32, _ = self.conv_out32(cp16)
+        up = lambda t: F.interpolate(t, (h, w), mode="bilinear",
+                                     align_corners=True)
+        return up(out), up(out16), up(out32)
+
+
+class _Y5Conv(nn.Module):
+    """(ref:facelib/detection/yolov5face/models/common.py Conv)."""
+
+    def __init__(self, c1, c2, k=1, s=1, g=1):
+        super().__init__()
+        self.conv = nn.Conv2d(c1, c2, k, s, k // 2, groups=g, bias=False)
+        self.bn = nn.BatchNorm2d(c2)
+
+    def forward(self, x):
+        return F.silu(self.bn(self.conv(x)))
+
+
+class _Y5Stem(nn.Module):
+    def __init__(self, c1, c2):
+        super().__init__()
+        self.stem_1 = _Y5Conv(c1, c2, 3, 2)
+        self.stem_2a = _Y5Conv(c2, c2 // 2, 1, 1)
+        self.stem_2b = _Y5Conv(c2 // 2, c2, 3, 2)
+        self.stem_2p = nn.MaxPool2d(2, 2, ceil_mode=True)
+        self.stem_3 = _Y5Conv(c2 * 2, c2, 1, 1)
+
+    def forward(self, x):
+        s1 = self.stem_1(x)
+        return self.stem_3(torch.cat(
+            (self.stem_2b(self.stem_2a(s1)), self.stem_2p(s1)), 1))
+
+
+def _y5_channel_shuffle(x, groups=2):
+    b, c, h, w = x.shape
+    return (x.view(b, groups, c // groups, h, w).transpose(1, 2)
+            .contiguous().view(b, -1, h, w))
+
+
+class _Y5Shuffle(nn.Module):
+    """(ref common.py ShuffleV2Block)."""
+
+    def __init__(self, inp, oup, stride):
+        super().__init__()
+        self.stride = stride
+        bf = oup // 2
+        if stride > 1:
+            self.branch1 = nn.Sequential(
+                nn.Conv2d(inp, inp, 3, stride, 1, groups=inp, bias=False),
+                nn.BatchNorm2d(inp),
+                nn.Conv2d(inp, bf, 1, bias=False), nn.BatchNorm2d(bf),
+                nn.SiLU())
+        else:
+            self.branch1 = nn.Sequential()
+        c2in = inp if stride > 1 else bf
+        self.branch2 = nn.Sequential(
+            nn.Conv2d(c2in, bf, 1, bias=False), nn.BatchNorm2d(bf), nn.SiLU(),
+            nn.Conv2d(bf, bf, 3, stride, 1, groups=bf, bias=False),
+            nn.BatchNorm2d(bf),
+            nn.Conv2d(bf, bf, 1, bias=False), nn.BatchNorm2d(bf), nn.SiLU())
+
+    def forward(self, x):
+        if self.stride == 1:
+            x1, x2 = x.chunk(2, dim=1)
+            out = torch.cat((x1, self.branch2(x2)), dim=1)
+        else:
+            out = torch.cat((self.branch1(x), self.branch2(x)), dim=1)
+        return _y5_channel_shuffle(out)
+
+
+class _Y5C3(nn.Module):
+    def __init__(self, c1, c2):
+        super().__init__()
+        c_ = c2 // 2
+
+        class _B(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.cv1 = _Y5Conv(c_, c_, 1)
+                self.cv2 = _Y5Conv(c_, c_, 3)
+
+            def forward(self, x):
+                return self.cv2(self.cv1(x))  # shortcut=False
+
+        self.cv1 = _Y5Conv(c1, c_, 1)
+        self.cv2 = _Y5Conv(c1, c_, 1)
+        self.cv3 = _Y5Conv(2 * c_, c2, 1)
+        self.m = nn.Sequential(_B())
+
+    def forward(self, x):
+        return self.cv3(torch.cat((self.m(self.cv1(x)), self.cv2(x)), 1))
+
+
+class TorchYOLOv5nFace(nn.Module):
+    """yolov5n-face graph + grid/anchor decode
+    (ref:facelib/detection/yolov5face/models/yolo.py:53-88)."""
+
+    ANCHORS = [[[4, 5], [8, 10], [13, 16]],
+               [[23, 29], [43, 55], [73, 105]],
+               [[146, 217], [231, 300], [335, 433]]]
+    STRIDES = (8, 16, 32)
+
+    def __init__(self):
+        super().__init__()
+        m = {}
+        m["0"] = _Y5Stem(3, 32)
+        m["1"] = _Y5Shuffle(32, 128, 2)
+        m["2"] = nn.Sequential(*[_Y5Shuffle(128, 128, 1) for _ in range(3)])
+        m["3"] = _Y5Shuffle(128, 256, 2)
+        m["4"] = nn.Sequential(*[_Y5Shuffle(256, 256, 1) for _ in range(7)])
+        m["5"] = _Y5Shuffle(256, 512, 2)
+        m["6"] = nn.Sequential(*[_Y5Shuffle(512, 512, 1) for _ in range(3)])
+        m["7"] = _Y5Conv(512, 128, 1)
+        m["10"] = _Y5C3(384, 128)
+        m["11"] = _Y5Conv(128, 128, 1)
+        m["14"] = _Y5C3(256, 128)
+        m["15"] = _Y5Conv(128, 128, 3, 2)
+        m["17"] = _Y5C3(256, 128)
+        m["18"] = _Y5Conv(128, 128, 3, 2)
+        m["20"] = _Y5C3(256, 128)
+
+        class _Detect(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.m = nn.ModuleList(
+                    [nn.Conv2d(128, 48, 1) for _ in range(3)])
+
+        m["21"] = _Detect()
+        self.model = nn.ModuleDict(m)
+
+    def forward(self, x):
+        M = self.model
+        y0 = M["0"](x)
+        y1 = M["1"](y0)
+        y2 = M["2"](y1)
+        y3 = M["3"](y2)
+        y4 = M["4"](y3)
+        y5 = M["5"](y4)
+        y6 = M["6"](y5)
+        y7 = M["7"](y6)
+        y8 = F.interpolate(y7, scale_factor=2, mode="nearest")
+        y10 = M["10"](torch.cat([y8, y4], 1))
+        y11 = M["11"](y10)
+        y12 = F.interpolate(y11, scale_factor=2, mode="nearest")
+        y14 = M["14"](torch.cat([y12, y2], 1))
+        y15 = M["15"](y14)
+        y17 = M["17"](torch.cat([y15, y11], 1))
+        y18 = M["18"](y17)
+        y20 = M["20"](torch.cat([y18, y7], 1))
+
+        outs = []
+        for li, feat in enumerate((y14, y17, y20)):
+            p = M["21"].m[li](feat)
+            bs, _, ny, nx = p.shape
+            p = p.view(bs, 3, 16, ny, nx).permute(0, 1, 3, 4, 2).contiguous()
+            stride = float(self.STRIDES[li])
+            yv, xv = torch.meshgrid(torch.arange(ny), torch.arange(nx),
+                                    indexing="ij")
+            grid = torch.stack((xv, yv), 2).view(1, 1, ny, nx, 2).float()
+            anchor = torch.tensor(self.ANCHORS[li], dtype=torch.float32
+                                  ).view(1, 3, 1, 1, 2)
+            xy = (torch.sigmoid(p[..., 0:2]) * 2.0 - 0.5 + grid) * stride
+            wh = (torch.sigmoid(p[..., 2:4]) * 2.0) ** 2 * anchor
+            conf = torch.sigmoid(p[..., 4:5])
+            lmk = p[..., 5:15].view(bs, 3, ny, nx, 5, 2)
+            lmk = lmk * anchor.unsqueeze(4) + grid.unsqueeze(4) * stride
+            cls = torch.sigmoid(p[..., 15:])
+            out = torch.cat([xy, wh, conf,
+                             lmk.view(bs, 3, ny, nx, 10), cls], -1)
+            # (bs, na, ny, nx, no) → (bs, na·ny·nx, no); our flax flattens
+            # (ny, nx, na) — reorder to match
+            out = out.permute(0, 2, 3, 1, 4).reshape(bs, -1, 16)
+            outs.append(out)
+        return torch.cat(outs, 1)
