@@ -58,6 +58,33 @@ def _out_path(path: str, input_dir: str, output_dir: str, suffix: str = "") -> s
 # ---------------------------------------------------------------------------
 
 
+
+def _sidecar(path: str) -> str:
+    return os.path.splitext(path)[0] + ".wav"
+
+
+def _copy_sidecar(src_video: str, dst_video: str) -> None:
+    """Propagate the no-ffmpeg sidecar .wav through a stage (the cv2
+    backend can't mux audio into containers; media.read_audio reads the
+    sidecar back)."""
+    s = _sidecar(src_video)
+    if os.path.exists(s) and not os.path.exists(_sidecar(dst_video)):
+        shutil.copy(s, _sidecar(dst_video))
+
+
+def _slice_sidecar(src_video: str, dst_video: str, start_frame: int,
+                   n_frames: int, fps: int) -> None:
+    s = _sidecar(src_video)
+    if not os.path.exists(s) or os.path.exists(_sidecar(dst_video)):
+        return
+    from scipy.io import wavfile
+
+    rate, data = wavfile.read(s)
+    a = int(start_frame / fps * rate)
+    b = int((start_frame + n_frames) / fps * rate)
+    wavfile.write(_sidecar(dst_video), rate, data[a:b])
+
+
 def remove_broken_videos(input_dir: str, output_dir: str) -> List[str]:
     kept = []
     for path in _gather(input_dir):
@@ -70,6 +97,7 @@ def remove_broken_videos(input_dir: str, output_dir: str) -> List[str]:
             if n <= 0 or w <= 0:
                 continue
             shutil.copy(path, dst)
+            _copy_sidecar(path, dst)
             kept.append(dst)
         except Exception:
             continue
@@ -93,6 +121,7 @@ def resample_fps_hz(input_dir: str, output_dir: str, fps: int = 25,
         else:
             frames = read_video(path, change_fps=True, fps=fps)
             write_video(dst, frames, fps=fps)
+            _copy_sidecar(path, dst)
         out.append(dst)
     return out
 
@@ -142,6 +171,7 @@ def split_shots(input_dir: str, output_dir: str, fps: int = 25) -> List[str]:
                 continue
             dst = _out_path(path, input_dir, output_dir, f"_shot{i}")
             write_video(dst, seg, fps=fps)
+            _slice_sidecar(path, dst, cuts[i], len(seg), fps)
             out.append(dst)
     return out
 
@@ -162,6 +192,7 @@ def segment_videos(input_dir: str, output_dir: str, min_sec: float = 5.0,
             dst = _out_path(path, input_dir, output_dir, f"_seg{idx}")
             if not os.path.exists(dst):
                 write_video(dst, seg, fps=fps)
+                _slice_sidecar(path, dst, start, len(seg), fps)
             out.append(dst)
             idx += 1
     return out
@@ -186,6 +217,7 @@ def affine_transform_stage(input_dir: str, output_dir: str,
                 face, _, _ = processor.affine_transform(frame)
                 faces.append(face)
             write_video(dst, np.stack(faces), fps=fps)
+            _copy_sidecar(path, dst)
             out.append(dst)
         except Exception as e:  # noqa: BLE001 — per-file isolation
             print(f"affine failed {path}: {e}")
@@ -205,6 +237,7 @@ def remove_incorrect_affined(input_dir: str, output_dir: str,
             if w != resolution or h != resolution or n < 25:
                 continue
             shutil.copy(path, dst)
+            _copy_sidecar(path, dst)
             out.append(dst)
         except Exception:
             continue
@@ -238,6 +271,7 @@ def sync_av_stage(input_dir: str, output_dir: str, evaluator=None,
                 )
             else:
                 shutil.copy(path, dst)
+                _copy_sidecar(path, dst)
             out.append(dst)
         except Exception as e:  # noqa: BLE001
             print(f"sync_av failed {path}: {e}")
@@ -261,6 +295,7 @@ def filter_visual_quality(input_dir: str, output_dir: str, scorer=None,
                 if float(np.mean(scores)) < min_score:
                     continue
             shutil.copy(path, dst)
+            _copy_sidecar(path, dst)
             out.append(dst)
         except Exception as e:  # noqa: BLE001
             print(f"quality filter failed {path}: {e}")
@@ -275,6 +310,10 @@ class DataProcessingPipeline:
     resolution: int = 256
     evaluator: object = None
     quality_scorer: Optional[Callable] = None
+    # reference thresholds (README.md:148-149); tunable for reduced runs
+    min_sync_conf: float = 3.0
+    max_av_offset: int = 6
+    min_iqa: float = 40.0
 
     def run(self, input_dir: str) -> List[str]:
         r = self.output_root
@@ -285,8 +324,10 @@ class DataProcessingPipeline:
             ("segmented", lambda i, o: segment_videos(i, o)),
             ("affine_transformed", lambda i, o: affine_transform_stage(i, o, self.resolution)),
             ("filtered_affined", lambda i, o: remove_incorrect_affined(i, o, self.resolution)),
-            ("av_synced", lambda i, o: sync_av_stage(i, o, self.evaluator)),
-            ("high_visual_quality", lambda i, o: filter_visual_quality(i, o, self.quality_scorer)),
+            ("av_synced", lambda i, o: sync_av_stage(
+                i, o, self.evaluator, self.min_sync_conf, self.max_av_offset)),
+            ("high_visual_quality", lambda i, o: filter_visual_quality(
+                i, o, self.quality_scorer, self.min_iqa)),
         ]
         cur = input_dir
         files: List[str] = []

@@ -181,10 +181,16 @@ def read_audio(path: str, sample_rate: int = 16000) -> np.ndarray:
     from scipy.io import wavfile
 
     if not str(path).lower().endswith(".wav"):
-        raise RuntimeError(
-            f"no ffmpeg binary available; cannot decode audio from {path} "
-            "(only .wav supported on the cv2/scipy backend)"
-        )
+        # sidecar convention: write_video muxes audio as <name>.wav next
+        # to the container when ffmpeg is absent — read it back the same way
+        sidecar = os.path.splitext(str(path))[0] + ".wav"
+        if os.path.exists(sidecar):
+            path = sidecar
+        else:
+            raise RuntimeError(
+                f"no ffmpeg binary available; cannot decode audio from {path} "
+                "(only .wav supported on the cv2/scipy backend)"
+            )
     sr, data = wavfile.read(str(path))
     if data.dtype == np.int16:
         audio = data.astype(np.float32) / 32768.0
