@@ -17,6 +17,10 @@ def main():
     p.add_argument("--fileslist", default="")
     p.add_argument("--with-quality-gate", action="store_true",
                    help="enable the HyperIQA visual-quality stage")
+    p.add_argument("--min-sync-conf", type=float, default=3.0,
+                   help="SyncNet confidence gate (ref README.md:148)")
+    p.add_argument("--max-av-offset", type=int, default=6)
+    p.add_argument("--min-iqa", type=float, default=40.0)
     args = p.parse_args()
 
     from latentsync_tpu.preprocess.pipeline import (
@@ -32,7 +36,8 @@ def main():
 
     pipe = DataProcessingPipeline(
         output_root=args.output, resolution=args.resolution,
-        quality_scorer=scorer,
+        quality_scorer=scorer, min_sync_conf=args.min_sync_conf,
+        max_av_offset=args.max_av_offset, min_iqa=args.min_iqa,
     )
     files = pipe.run(args.input)
     if args.fileslist:
