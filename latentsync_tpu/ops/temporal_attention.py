@@ -163,6 +163,7 @@ def spatial_attention(
     v: jnp.ndarray,
     heads: int,
     scale: float | None = None,
+    block_q: int | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Self-attention on (B, S, H·D) without leaving that layout.
@@ -186,9 +187,15 @@ def spatial_attention(
         vh = v.reshape(b, s, heads, dim_head)
         return dot_product_attention(qh, kh, vh).reshape(b, s, hd)
 
-    # q-row blocking keeps the per-step working set (q/o row block, full
-    # k/v, one (BLK_Q, S) f32 logit tile) well under VMEM at S=1024
-    block_q = s if s <= 256 else 256
+    # whole-sequence q block: at S=1024/d=40 the per-step working set
+    # (q/k/v/o + one (S, S) f32 logit tile per head in the unrolled head
+    # loop) still fits VMEM, and fewer grid steps measured 10% faster
+    # than 256-row blocking (micro_probe --which spatq: 4.76 vs 5.30 ms)
+    if block_q is None:
+        block_q = s
+    block_q = min(block_q, s)
+    if s % block_q:
+        block_q = s if s <= 256 else 256
     qspec = pl.BlockSpec((1, block_q, hd), lambda i, j: (i, j, 0))
     kvspec = pl.BlockSpec((1, s, hd), lambda i, j: (i, 0, 0))
     return pl.pallas_call(

@@ -180,6 +180,21 @@ def main():
                 iters=args.iters,
             )
 
+    if which in ("all", "spatq"):
+        from latentsync_tpu.ops.temporal_attention import spatial_attention
+
+        for s, c, heads in ((1024, 320, 8),):
+            d = c // heads
+            q = jnp.asarray(rng.standard_normal((bf, s, c)), dt)
+            fl = 2 * 2 * bf * heads * s * s * d
+            for bq in (128, 256, 512, 1024):
+                bench_loop(
+                    f"spat_bq{bq}_S{s}",
+                    lambda y, bq=bq: spatial_attention(y, y, y, heads,
+                                                       block_q=bq).astype(dt),
+                    q, fl, iters=args.iters,
+                )
+
     if which in ("all", "gn2"):
         # XLA GroupNorm+SiLU vs the streaming Pallas kernel at the
         # UNet's cross-frame shape (rows = F·H·W per sample)
