@@ -195,6 +195,19 @@ def main():
                     q, fl, iters=args.iters,
                 )
 
+    if which in ("all", "tempq"):
+        from latentsync_tpu.ops.temporal_attention import temporal_attention
+
+        q = jnp.asarray(rng.standard_normal((2 * W * 1024, 16, 320)), dt)
+        fl = 2 * 2 * (2 * W * 1024) * 8 * 16 * 16 * 40
+        for blk in (16, 32, 64):
+            bench_loop(
+                f"temporal_blk{blk}",
+                lambda y, blk=blk: temporal_attention(y, y, y, 8,
+                                                      block=blk).astype(dt),
+                q, fl, iters=args.iters,
+            )
+
     if which in ("all", "gn2"):
         # XLA GroupNorm+SiLU vs the streaming Pallas kernel at the
         # UNet's cross-frame shape (rows = F·H·W per sample)
