@@ -66,3 +66,22 @@ def test_no_silu_and_bf16(rng):
     o = np.asarray(out, np.float32).reshape(8, 4, 8)
     assert abs(o.mean()) < 0.05
     assert abs(o.var() - 1.0) < 0.15
+
+
+def test_pallas_gn_env_path_cpu_fallback(monkeypatch, rng):
+    """LATENTSYNC_PALLAS_GN=1 routes the UNet norms through
+    FusedGroupNorm; off-TPU that falls back to identical XLA math, so
+    outputs must match the default path exactly."""
+    import jax
+
+    from latentsync_tpu.models.unet3d import ResnetBlock3D
+
+    x = jnp.asarray(rng.standard_normal((1, 2, 4, 4, 8)).astype(np.float32))
+    temb = jnp.asarray(rng.standard_normal((1, 16)).astype(np.float32))
+    blk = ResnetBlock3D(out_channels=8, temb_channels=16, groups=4)
+    params = blk.init(jax.random.PRNGKey(0), x, temb)
+    base = blk.apply(params, x, temb)
+    monkeypatch.setenv("LATENTSYNC_PALLAS_GN", "1")
+    alt = blk.apply(params, x, temb)
+    np.testing.assert_allclose(np.asarray(alt), np.asarray(base),
+                               atol=1e-5, rtol=1e-5)
