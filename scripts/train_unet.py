@@ -98,6 +98,7 @@ def main():
 
     max_steps = args.max_steps or config.run.max_train_steps
     losses = []
+    val_confs = []
     t0 = time.time()
     with mesh:
         for batch in loader:
@@ -127,10 +128,70 @@ def main():
                 t0 = time.time()
             if global_step % config.run.save_ckpt_steps == 0:
                 save_checkpoint(args.output_dir, global_step, unet_params, opt_state)
+                conf = run_validation(unet_params, vae_params, config,
+                                      args.output_dir, global_step)
+                if conf is not None:
+                    val_confs.append((global_step, conf))
             if global_step >= max_steps:
                 break
     loader.close()
     save_checkpoint(args.output_dir, global_step, unet_params, opt_state)
+    if losses or val_confs:
+        try:
+            from latentsync_tpu.utils.observability import plot_loss_chart
+
+            series = [("train_loss", [s for s, _ in losses],
+                       [v for _, v in losses])]
+            if val_confs:
+                series.append(("val_sync_conf", [s for s, _ in val_confs],
+                               [v for _, v in val_confs]))
+            plot_loss_chart(os.path.join(args.output_dir, "loss_chart.png"),
+                            *series)
+        except Exception as e:  # noqa: BLE001 — charting is best-effort
+            print(f"loss chart failed: {e}")
+
+
+def run_validation(unet_params, vae_params, config, output_dir, step):
+    """Validation-during-training (ref:scripts/train_unet.py:459-494):
+    run the FULL inference pipeline on the fixed val pair every
+    checkpoint and score it with the frozen SyncNet evaluator. Skipped
+    silently when val assets are absent (smoke/CI runs)."""
+    vp, ap = config.data.val_video_path, config.data.val_audio_path
+    if not (vp and ap and os.path.isfile(vp) and os.path.isfile(ap)):
+        return None
+    try:
+        from latentsync_tpu.audio.features import Audio2Feature
+        from latentsync_tpu.config import WhisperConfig
+        from latentsync_tpu.pipelines.lipsync import LipsyncPipeline
+
+        wcfg = (WhisperConfig.tiny()
+                if config.unet.cross_attention_dim == 384
+                else WhisperConfig.small())
+        pipe = LipsyncPipeline(
+            unet_params, vae_params,
+            audio_encoder=Audio2Feature(wcfg), config=config,
+        )
+        out_dir = os.path.join(output_dir, "val_videos")
+        os.makedirs(out_dir, exist_ok=True)
+        out = os.path.join(out_dir, f"step_{step:08d}.mp4")
+        pipe(video_path=vp, audio_path=ap, video_out_path=out,
+             num_inference_steps=config.run.inference_steps,
+             guidance_scale=config.run.guidance_scale,
+             seed=config.run.seed)
+        conf = None
+        try:
+            from latentsync_tpu.eval.sync_eval import SyncNetEvaluator
+
+            _, _, conf = SyncNetEvaluator().evaluate(out)
+            conf = float(conf)
+        except Exception as e:  # noqa: BLE001 — scoring needs weights
+            print(f"val sync scoring skipped: {e}")
+        print(json.dumps({"val_step": step, "val_video": out,
+                          "val_sync_conf": conf}))
+        return conf
+    except Exception as e:  # noqa: BLE001 — validation must not kill training
+        print(f"validation failed at step {step}: {e}")
+        return None
 
 
 if __name__ == "__main__":
