@@ -209,6 +209,7 @@ class DataConfig:
     batch_size: int = 1
     train_fileslist: str = ""
     train_data_dir: str = ""
+    val_fileslist: str = ""
     audio_embeds_cache_dir: str = ""
     audio_mel_cache_dir: str = ""
     val_video_path: str = ""

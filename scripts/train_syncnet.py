@@ -59,6 +59,19 @@ def main():
     source = SyncNetSampleSource(config, seed=config.run.seed)
     loader = HostDataLoader(source, batch_size=max(config.data.batch_size, 1))
 
+    # held-out validation source (ref:configs/syncnet/*.yaml val_fileslist,
+    # ref:train_syncnet.py:238-252); falls back to the current train
+    # batch when no val list is configured
+    val_source = None
+    if getattr(config.data, "val_fileslist", ""):
+        from latentsync_tpu.training.data import load_fileslist
+
+        val_paths = load_fileslist(config.data.val_fileslist,
+                                   config.data.train_data_dir)
+        if val_paths:
+            val_source = SyncNetSampleSource(
+                config, video_paths=val_paths, seed=config.run.seed + 1)
+
     max_steps = args.max_steps or config.run.max_train_steps
     train_hist, val_hist = [], []
     step = 0
@@ -74,7 +87,15 @@ def main():
                                   "steps_per_sec": args.log_every / (time.time() - t0)}))
                 t0 = time.time()
             if step % args.validation_steps == 0:
-                vloss, vacc = eval_step(params, dev)
+                if val_source is not None:
+                    vb = [val_source.sample() for _ in
+                          range(max(config.data.batch_size, 1))]
+                    vdev = {k: jax.device_put(
+                        jnp.asarray(np.stack([s[k] for s in vb])), b_shard)
+                        for k in vb[0]}
+                else:
+                    vdev = dev
+                vloss, vacc = eval_step(params, vdev)
                 val_hist.append((step, float(vloss)))
                 plot_loss_chart(
                     os.path.join(args.output_dir, "loss_chart.png"),
