@@ -152,3 +152,30 @@ def test_data_parallel_matches_single_device(tiny_trainer, rng):
     with mesh:
         multi = float(jax.jit(loss_fn)(repl_params, sharded_batch, key)[0])
     assert abs(single - multi) < 1e-4
+
+
+def test_trainable_mask_stage2_efficient_attn2_only():
+    """The stage2_efficient config trains ONLY motion modules + audio
+    cross-attention (trainable_modules: motion_modules., attn2. —
+    ref:configs/unet/stage2_efficient.yaml): attn1/self-attention and
+    resnets must stay frozen."""
+    tree = {
+        "down_blocks_0": {
+            "attentions_0": {
+                "transformer_blocks_0": {
+                    "attn1": {"to_q": {"kernel": 1}},
+                    "attn2": {"to_q": {"kernel": 1}},
+                    "ff": {"net_2": {"kernel": 1}},
+                },
+            },
+            "motion_modules_0": {"proj_in": {"kernel": 1}},
+            "resnets_0": {"conv1": {"conv": {"kernel": 1}}},
+        }
+    }
+    mask = trainable_mask(tree, ("motion_modules.", "attn2."))
+    blk = mask["down_blocks_0"]
+    assert blk["attentions_0"]["transformer_blocks_0"]["attn2"]["to_q"]["kernel"]
+    assert blk["motion_modules_0"]["proj_in"]["kernel"]
+    assert not blk["attentions_0"]["transformer_blocks_0"]["attn1"]["to_q"]["kernel"]
+    assert not blk["attentions_0"]["transformer_blocks_0"]["ff"]["net_2"]["kernel"]
+    assert not blk["resnets_0"]["conv1"]["conv"]["kernel"]
