@@ -135,3 +135,28 @@ def test_feature2chunks_count_and_shape(rng):
     np.testing.assert_array_equal(
         chunks[3], feats[2:12].reshape(50, 384)
     )
+
+
+def test_whisper_small_config_builds_and_selects():
+    """whisper-small (768-dim) support: selected by
+    cross_attention_dim==768 (ref:scripts/inference.py:42-47) and the
+    encoder builds/runs at the small dims."""
+    import jax
+
+    from latentsync_tpu.config import WhisperConfig
+    from latentsync_tpu.models.whisper import WhisperEncoder
+
+    small = WhisperConfig.small()
+    assert (small.n_audio_state, small.n_audio_head, small.n_audio_layer) == (768, 12, 12)
+
+    # reduced-depth variant at the small width (full 12 layers is slow on CPU)
+    cfg = WhisperConfig(n_audio_state=768, n_audio_head=12, n_audio_layer=2)
+    enc = WhisperEncoder(cfg)
+    mel = jnp.zeros((1, 80, 3000))
+    params = enc.init(jax.random.PRNGKey(0), mel)
+    out = enc.apply(params, mel, include_embeddings=True)
+    embeds = out[1] if isinstance(out, tuple) else out
+    # per-layer embeddings stacked: (layers+1?, B, T, 768) or similar —
+    # just require the hidden width to be 768 and values finite
+    assert 768 in np.asarray(embeds).shape
+    assert np.isfinite(np.asarray(embeds)).all()
