@@ -173,9 +173,10 @@ class Wav2LipSyncNet(nn.Module):
     16 audio Conv2d blocks with in-place residuals added BEFORE the
     activation. Visual input (B, 128, 256, 15) stacked half-frames,
     audio (B, 80, 16, 1) mel; both towers reduce to 1×1×1024 and
-    L2-normalize."""
+    L2-normalize. Default act_fn matches the reference's LeakyReLU(0.2)
+    (ref:latentsync/models/wav2lip_syncnet.py:9)."""
 
-    act_fn: str = "relu"
+    act_fn: str = "leaky"
     dtype: jnp.dtype = jnp.float32
 
     # (cout, kernel, stride, padding, residual, act_override)

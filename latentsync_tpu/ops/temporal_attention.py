@@ -69,47 +69,28 @@ def _pick_block(fh: int, dim_head: int, itemsize: int) -> int:
     return 8
 
 
-def temporal_attention(
-    q: jnp.ndarray,
-    k: jnp.ndarray,
-    v: jnp.ndarray,
-    heads: int,
-    scale: float | None = None,
-    block: int | None = None,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """q, k, v: (B, F, H·D), F small (the 16-frame window). → (B, F, H·D).
-
-    Falls back to the XLA einsum path off-TPU or for non-dividing
-    shapes; the Pallas path requires B % block == 0 (callers see B =
-    batch·H·W spatial positions — always a big power-of-two here)."""
+def _temporal_xla(q, k, v, heads, scale):
+    """Reference XLA lowering — used off-TPU and as the autodiff rule
+    for the Pallas forward (mathematically identical attention)."""
     b, f, hd = q.shape
     dim_head = hd // heads
-    if block is None:
-        block = _pick_block(f * heads, dim_head, jnp.dtype(q.dtype).itemsize)
-    if scale is None:
-        scale = 1.0 / math.sqrt(dim_head)
-    on_tpu = False
-    try:
-        on_tpu = jax.devices()[0].platform == "tpu"
-    except Exception:  # pragma: no cover
-        pass
-    usable = (
-        pltpu is not None
-        and (interpret or on_tpu)
-        and b % block == 0
-        and f * heads <= 512  # logits tile stays comfortably in VMEM
-    )
-    if not usable:
-        qh = q.reshape(b, f, heads, dim_head)
-        kh = k.reshape(b, f, heads, dim_head)
-        vh = v.reshape(b, f, heads, dim_head)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
-                            preferred_element_type=jnp.float32) * scale
-        w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
-        o = jnp.einsum("bhqk,bkhd->bqhd", w, vh)
-        return o.reshape(b, f, hd)
+    qh = q.reshape(b, f, heads, dim_head)
+    kh = k.reshape(b, f, heads, dim_head)
+    vh = v.reshape(b, f, heads, dim_head)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
+                        preferred_element_type=jnp.float32) * scale
+    w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    o = jnp.einsum("bhqk,bkhd->bqhd", w, vh)
+    return o.reshape(b, f, hd)
 
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _temporal_fused(q, k, v, heads, scale, block, interpret):
+    """Pallas forward. Backward (below) differentiates the XLA lowering
+    instead — pallas_call has no AD rule, and without this jax.grad
+    through the UNet trainer dies on TPU (ADVICE r02 high)."""
+    b, f, hd = q.shape
+    dim_head = hd // heads
     fh = f * heads
     qf = q.reshape(b, fh, dim_head)
     kf = k.reshape(b, fh, dim_head)
@@ -129,6 +110,56 @@ def temporal_attention(
         interpret=interpret,
     )(qf, kf, vf, mask)
     return out.reshape(b, f, hd)
+
+
+def _temporal_fused_fwd(q, k, v, heads, scale, block, interpret):
+    return _temporal_fused(q, k, v, heads, scale, block, interpret), (q, k, v)
+
+
+def _temporal_fused_bwd(heads, scale, block, interpret, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda a, b_, c: _temporal_xla(a, b_, c, heads, scale), q, k, v)
+    return vjp(g)
+
+
+_temporal_fused.defvjp(_temporal_fused_fwd, _temporal_fused_bwd)
+
+
+def temporal_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    heads: int,
+    scale: float | None = None,
+    block: int | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """q, k, v: (B, F, H·D), F small (the 16-frame window). → (B, F, H·D).
+
+    Falls back to the XLA einsum path off-TPU or for non-dividing
+    shapes; the Pallas path requires B % block == 0 (callers see B =
+    batch·H·W spatial positions — always a big power-of-two here).
+    Differentiable: reverse-mode AD routes through the XLA lowering."""
+    b, f, hd = q.shape
+    dim_head = hd // heads
+    if block is None:
+        block = _pick_block(f * heads, dim_head, jnp.dtype(q.dtype).itemsize)
+    if scale is None:
+        scale = 1.0 / math.sqrt(dim_head)
+    on_tpu = False
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        pass
+    usable = (
+        pltpu is not None
+        and (interpret or on_tpu)
+        and b % block == 0
+        and f * heads <= 512  # logits tile stays comfortably in VMEM
+    )
+    if not usable:
+        return _temporal_xla(q, k, v, heads, scale)
+    return _temporal_fused(q, k, v, heads, scale, block, interpret)
 
 
 # ---------------------------------------------------------------------------
@@ -157,45 +188,26 @@ def _spatial_kernel(q_ref, k_ref, v_ref, o_ref, *, heads, dim_head, scale):
         ).astype(o_ref.dtype)
 
 
-def spatial_attention(
-    q: jnp.ndarray,
-    k: jnp.ndarray,
-    v: jnp.ndarray,
-    heads: int,
-    scale: float | None = None,
-    block_q: int | None = None,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Self-attention on (B, S, H·D) without leaving that layout.
-
-    For the UNet's spatial path (S = H·W tokens ≤ 1024, head dim 40).
-    Falls back to the shared XLA/flash routing off-TPU."""
+def _spatial_xla(q, k, v, heads, scale):
+    """Reference XLA/flash lowering — used off-TPU and as the autodiff
+    rule for the Pallas forward."""
     b, s, hd = q.shape
     dim_head = hd // heads
-    if scale is None:
-        scale = 1.0 / math.sqrt(dim_head)
-    on_tpu = False
-    try:
-        on_tpu = jax.devices()[0].platform == "tpu"
-    except Exception:  # pragma: no cover
-        pass
-    if pltpu is None or (not interpret and not on_tpu) or s > 1024:
-        from .attention import dot_product_attention
+    from .attention import dot_product_attention
 
-        qh = q.reshape(b, s, heads, dim_head)
-        kh = k.reshape(b, s, heads, dim_head)
-        vh = v.reshape(b, s, heads, dim_head)
-        return dot_product_attention(qh, kh, vh).reshape(b, s, hd)
+    qh = q.reshape(b, s, heads, dim_head)
+    kh = k.reshape(b, s, heads, dim_head)
+    vh = v.reshape(b, s, heads, dim_head)
+    return dot_product_attention(qh, kh, vh, scale=scale).reshape(b, s, hd)
 
-    # whole-sequence q block: at S=1024/d=40 the per-step working set
-    # (q/k/v/o + one (S, S) f32 logit tile per head in the unrolled head
-    # loop) still fits VMEM, and fewer grid steps measured 10% faster
-    # than 256-row blocking (micro_probe --which spatq: 4.76 vs 5.30 ms)
-    if block_q is None:
-        block_q = s
-    block_q = min(block_q, s)
-    if s % block_q:
-        block_q = s if s <= 256 else 256
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _spatial_fused(q, k, v, heads, scale, block_q, interpret):
+    """Pallas forward; backward differentiates the XLA lowering (the
+    per-head sliced o_ref writes in _spatial_kernel have no AD rule —
+    ADVICE r02 high: jax.grad through attn1 crashed UNet training)."""
+    b, s, hd = q.shape
+    dim_head = hd // heads
     qspec = pl.BlockSpec((1, block_q, hd), lambda i, j: (i, j, 0))
     kvspec = pl.BlockSpec((1, s, hd), lambda i, j: (i, 0, 0))
     return pl.pallas_call(
@@ -208,3 +220,54 @@ def spatial_attention(
         out_specs=qspec,
         interpret=interpret,
     )(q, k, v)
+
+
+def _spatial_fused_fwd(q, k, v, heads, scale, block_q, interpret):
+    return _spatial_fused(q, k, v, heads, scale, block_q, interpret), (q, k, v)
+
+
+def _spatial_fused_bwd(heads, scale, block_q, interpret, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda a, b_, c: _spatial_xla(a, b_, c, heads, scale), q, k, v)
+    return vjp(g)
+
+
+_spatial_fused.defvjp(_spatial_fused_fwd, _spatial_fused_bwd)
+
+
+def spatial_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    heads: int,
+    scale: float | None = None,
+    block_q: int | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Self-attention on (B, S, H·D) without leaving that layout.
+
+    For the UNet's spatial path (S = H·W tokens ≤ 1024, head dim 40).
+    Falls back to the shared XLA/flash routing off-TPU.
+    Differentiable: reverse-mode AD routes through the XLA lowering."""
+    b, s, hd = q.shape
+    dim_head = hd // heads
+    if scale is None:
+        scale = 1.0 / math.sqrt(dim_head)
+    on_tpu = False
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        pass
+    if pltpu is None or (not interpret and not on_tpu) or s > 1024:
+        return _spatial_xla(q, k, v, heads, scale)
+
+    # whole-sequence q block: at S=1024/d=40 the per-step working set
+    # (q/k/v/o + one (S, S) f32 logit tile per head in the unrolled head
+    # loop) still fits VMEM, and fewer grid steps measured 10% faster
+    # than 256-row blocking (micro_probe --which spatq: 4.76 vs 5.30 ms)
+    if block_q is None:
+        block_q = s
+    block_q = min(block_q, s)
+    if s % block_q:
+        block_q = s if s <= 256 else 256
+    return _spatial_fused(q, k, v, heads, scale, block_q, interpret)

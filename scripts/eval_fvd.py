@@ -30,6 +30,7 @@ def main():
     # random init still yields a consistent relative metric within a run
     model = InceptionI3D()
     ckpt = os.environ.get("LATENTSYNC_I3D_CKPT", "checkpoints/i3d.npz")
+    weights_source = "pretrained"
     if os.path.isfile(ckpt):
         if ckpt.endswith((".pt", ".pth")):
             from latentsync_tpu.utils.convert import load_torch_state_dict
@@ -40,6 +41,16 @@ def main():
 
             params = load_pytree(ckpt)
     else:
+        import sys
+
+        print(
+            f"WARNING: no I3D checkpoint at {ckpt!r} — using RANDOM weights. "
+            "The FVD below is only a within-run relative number and is NOT "
+            "comparable to Kinetics-pretrained FVD scores "
+            "(set $LATENTSYNC_I3D_CKPT to a converted checkpoint).",
+            file=sys.stderr,
+        )
+        weights_source = "random"
         params = fast_init(
             lambda v: model.init(jax.random.PRNGKey(0), v),
             jnp.zeros((1, args.num_frames, args.size, args.size, 3)),
@@ -65,7 +76,8 @@ def main():
     real = features_for(args.real_dir)
     fake = features_for(args.fake_dir)
     print(json.dumps({"fvd": compute_fvd(fake, real),
-                      "n_real": len(real), "n_fake": len(fake)}))
+                      "n_real": len(real), "n_fake": len(fake),
+                      "i3d_weights": weights_source}))
 
 
 if __name__ == "__main__":

@@ -74,3 +74,44 @@ def test_temporal_attention_adaptive_block_d160():
     out = temporal_attention(q, q, q, 8, interpret=True)
     ref = _ref(q, q, q, 8)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_pallas_attention_kernels_are_differentiable():
+    """ADVICE r02 high: jax.grad through the Pallas kernels must work
+    (UNet training runs attn1/motion attention under value_and_grad).
+    The custom_vjp routes backward through the XLA lowering; gradients
+    must match differentiating the XLA path directly."""
+    from latentsync_tpu.ops.temporal_attention import spatial_attention
+
+    rng = np.random.default_rng(7)
+    b, f, heads, d = 32, 16, 4, 16
+    q = jnp.asarray(rng.standard_normal((b, f, heads * d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, f, heads * d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, f, heads * d)), jnp.float32)
+
+    def loss_pallas(q, k, v):
+        return jnp.sum(temporal_attention(q, k, v, heads, block=32, interpret=True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_ref(q, k, v, heads) ** 2)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4, rtol=1e-4)
+
+    s = 64
+    qs = jnp.asarray(rng.standard_normal((4, s, heads * d)), jnp.float32)
+
+    def loss_spat(q):
+        return jnp.sum(spatial_attention(q, q, q, heads, interpret=True) ** 2)
+
+    def loss_spat_ref(q):
+        qh = q.reshape(4, s, heads, d)
+        from latentsync_tpu.ops.attention import dot_product_attention
+
+        return jnp.sum(dot_product_attention(qh, qh, qh).reshape(4, s, heads * d) ** 2)
+
+    gs = jax.grad(loss_spat)(qs)
+    gsr = jax.grad(loss_spat_ref)(qs)
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(gsr), atol=1e-4, rtol=1e-4)

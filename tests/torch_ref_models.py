@@ -1545,7 +1545,7 @@ class TorchVideoMAE(nn.Module):
 class _W2LConv(nn.Module):
     """(ref:latentsync/models/wav2lip_syncnet.py:71-90)."""
 
-    def __init__(self, cin, cout, k, s, p, residual=False, act="relu"):
+    def __init__(self, cin, cout, k, s, p, residual=False, act="leaky"):
         super().__init__()
         self.conv_block = nn.Sequential(
             nn.Conv2d(cin, cout, k, s, p), nn.BatchNorm2d(cout))
@@ -1561,7 +1561,9 @@ class _W2LConv(nn.Module):
 
 
 class TorchWav2LipSyncNet(nn.Module):
-    """(ref:latentsync/models/wav2lip_syncnet.py:8-69), act_fn relu."""
+    """(ref:latentsync/models/wav2lip_syncnet.py:8-69): act_fn defaults
+    to leaky (LeakyReLU 0.2, the reference default), with explicit relu
+    on the final tower blocks exactly as the reference overrides."""
 
     def __init__(self):
         super().__init__()
@@ -1577,9 +1579,9 @@ class TorchWav2LipSyncNet(nn.Module):
             _W2LConv(512, 512, 3, 1, 1, True), _W2LConv(512, 512, 3, 1, 1, True),
             _W2LConv(512, 1024, 3, 2, 1),
             _W2LConv(1024, 1024, 3, 1, 1, True), _W2LConv(1024, 1024, 3, 1, 1, True),
-            _W2LConv(1024, 1024, 3, 2, 1),
-            _W2LConv(1024, 1024, 3, 1, 0),
-            _W2LConv(1024, 1024, 1, 1, 0),
+            _W2LConv(1024, 1024, 3, 2, 1, act="relu"),
+            _W2LConv(1024, 1024, 3, 1, 0, act="relu"),
+            _W2LConv(1024, 1024, 1, 1, 0, act="relu"),
         )
         self.audio_encoder = nn.Sequential(
             _W2LConv(1, 32, 3, 1, 1),
@@ -1592,8 +1594,8 @@ class TorchWav2LipSyncNet(nn.Module):
             _W2LConv(256, 256, 3, 1, 1, True), _W2LConv(256, 256, 3, 1, 1, True),
             _W2LConv(256, 512, 3, 1, 1),
             _W2LConv(512, 512, 3, 1, 1, True), _W2LConv(512, 512, 3, 1, 1, True),
-            _W2LConv(512, 1024, 3, 1, 0),
-            _W2LConv(1024, 1024, 1, 1, 0),
+            _W2LConv(512, 1024, 3, 1, 0, act="relu"),
+            _W2LConv(1024, 1024, 1, 1, 0, act="relu"),
         )
 
     def forward(self, frames, mels):
@@ -1997,3 +1999,71 @@ class TorchYOLOv5nFace(nn.Module):
             out = out.permute(0, 2, 3, 1, 4).reshape(bs, -1, 16)
             outs.append(out)
         return torch.cat(outs, 1)
+
+
+class TorchWhisperDecMHA(nn.Module):
+    """Whisper decoder attention (q/v/out biased, k unbiased), combined
+    d^-0.5 scaling applied as d^-0.25 on q and k each."""
+
+    def __init__(self, n_state, n_head):
+        super().__init__()
+        self.n_head = n_head
+        self.query = nn.Linear(n_state, n_state)
+        self.key = nn.Linear(n_state, n_state, bias=False)
+        self.value = nn.Linear(n_state, n_state)
+        self.out = nn.Linear(n_state, n_state)
+
+    def forward(self, x, xa=None, mask=None):
+        ctx = x if xa is None else xa
+        q, k, v = self.query(x), self.key(ctx), self.value(ctx)
+        b, t, c = q.shape
+        scale = (c // self.n_head) ** -0.25
+        q = q.view(b, t, self.n_head, -1).permute(0, 2, 1, 3) * scale
+        k = k.view(b, k.shape[1], self.n_head, -1).permute(0, 2, 3, 1) * scale
+        v = v.view(b, v.shape[1], self.n_head, -1).permute(0, 2, 1, 3)
+        qk = q @ k
+        if mask is not None:
+            qk = qk + mask[:t, : k.shape[-1]]
+        w = F.softmax(qk.float(), dim=-1).to(q.dtype)
+        o = (w @ v).permute(0, 2, 1, 3).flatten(start_dim=2)
+        return self.out(o)
+
+
+class TorchWhisperTextDecoder(nn.Module):
+    """(ref:latentsync/whisper/whisper/model.py:176-217): learned
+    positions, pre-LN blocks with cross-attention, tied logits."""
+
+    def __init__(self, n_vocab, n_ctx, n_state, n_head, n_layer):
+        super().__init__()
+        self.token_embedding = nn.Embedding(n_vocab, n_state)
+        self.positional_embedding = nn.Parameter(torch.zeros(n_ctx, n_state))
+
+        class Block(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.attn = TorchWhisperDecMHA(n_state, n_head)
+                self.attn_ln = nn.LayerNorm(n_state)
+                self.cross_attn = TorchWhisperDecMHA(n_state, n_head)
+                self.cross_attn_ln = nn.LayerNorm(n_state)
+                self.mlp = nn.Sequential(
+                    nn.Linear(n_state, n_state * 4), nn.GELU(),
+                    nn.Linear(n_state * 4, n_state))
+                self.mlp_ln = nn.LayerNorm(n_state)
+
+            def forward(self, x, xa, mask):
+                x = x + self.attn(self.attn_ln(x), mask=mask)
+                x = x + self.cross_attn(self.cross_attn_ln(x), xa=xa)
+                return x + self.mlp(self.mlp_ln(x))
+
+        self.blocks = nn.ModuleList([Block() for _ in range(n_layer)])
+        self.ln = nn.LayerNorm(n_state)
+        mask = torch.empty(n_ctx, n_ctx).fill_(float("-inf")).triu_(1)
+        self.register_buffer("mask", mask, persistent=False)
+
+    def forward(self, tokens, xa):
+        t = tokens.shape[-1]
+        x = self.token_embedding(tokens) + self.positional_embedding[:t]
+        for blk in self.blocks:
+            x = blk(x, xa, self.mask)
+        x = self.ln(x)
+        return (x @ self.token_embedding.weight.T).float()
