@@ -1,0 +1,143 @@
+"""In-repo Whisper transcription: waveform → segments with word times.
+
+The reference produces word-timestamp JSON by shelling out to an
+external whisper binary (ref:job-queue-listener/src/helpers/whisper.ts,
+ref:latentsync/utils/whisper.py:6-33); its vendored whisper also ships
+a full transcribe loop (ref:latentsync/whisper/whisper/transcribe.py).
+This module is the TPU-native equivalent of that capability: 30 s
+windows → log-mel → WhisperEncoder → jitted greedy TextDecoder →
+timestamp-token segmentation — so `serving.helpers.generate_subtitles`
+and `trim_video_after_last_word` can consume in-repo transcription once
+encoder/decoder weights + the vocab asset are configured.
+
+Seek logic follows the reference transcribe loop's timestamp-driven
+advance (ref:transcribe.py:150-192): if the window's decode ends with a
+timestamp pair, seek to the last end-timestamp; otherwise advance a
+full window.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import WhisperConfig
+from ..models.whisper import WhisperEncoder
+from ..models.whisper_decoder import (
+    GreedyRules,
+    WhisperTextDecoder,
+    greedy_decode,
+    tokens_to_segments,
+)
+from ..ops.mel import WHISPER_N_FRAMES, pad_or_trim, whisper_log_mel
+
+_SAMPLES_PER_FRAME = 160  # 16 kHz / 100 fps mel hop
+_WINDOW_SEC = 30.0
+
+
+class WhisperTranscriber:
+    """Callable transcriber: audio path (or waveform) → [{start, end,
+    text, words}] — the structure `generate_subtitles` and
+    `last_word_end` consume."""
+
+    def __init__(
+        self,
+        config: WhisperConfig = WhisperConfig.tiny(),
+        encoder_params=None,
+        decoder_params=None,
+        tokenizer=None,
+        language: str = "en",
+        dtype=jnp.float32,
+    ):
+        import jax
+
+        self.config = config
+        self.encoder = WhisperEncoder(config, dtype=dtype)
+        self.decoder = WhisperTextDecoder(config, dtype=dtype)
+        if encoder_params is None:
+            encoder_params = self.encoder.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, config.n_mels, 2 * config.n_audio_ctx)))
+        if decoder_params is None:
+            decoder_params = self.decoder.init(
+                jax.random.PRNGKey(1), jnp.zeros((1, 3), jnp.int32),
+                jnp.zeros((1, config.n_audio_ctx, config.n_text_state)))
+        self.encoder_params = encoder_params
+        self.decoder_params = decoder_params
+        if tokenizer is None:
+            from .tokenizer import get_tokenizer
+
+            tokenizer = get_tokenizer(multilingual=True, language=language)
+        self.tokenizer = tokenizer
+        self.rules = GreedyRules(
+            eot=tokenizer.eot,
+            timestamp_begin=tokenizer.timestamp_begin,
+            no_timestamps=tokenizer.no_timestamps,
+            blank=tokenizer.encode(" ")[0],
+            suppress=tokenizer.suppress_set(),
+        )
+        self._encode = jax.jit(
+            lambda p, mel: self.encoder.apply(p, mel, include_embeddings=False))
+
+    def __call__(self, audio_or_path) -> List[Dict]:
+        if isinstance(audio_or_path, (str, os.PathLike)):
+            from ..utils.media import read_audio
+
+            audio = read_audio(str(audio_or_path))
+        else:
+            audio = np.asarray(audio_or_path, np.float32)
+
+        mel = whisper_log_mel(jnp.asarray(audio, jnp.float32))
+        num_frames = mel.shape[-1]
+        segments: List[Dict] = []
+        seek = 0
+        while seek < num_frames:
+            end = min(seek + WHISPER_N_FRAMES, num_frames)
+            window = pad_or_trim(mel[:, seek:end], WHISPER_N_FRAMES)
+            feats = self._encode(self.encoder_params, window[None])
+            tokens, _ = greedy_decode(
+                self.decoder, self.decoder_params, feats,
+                self.tokenizer.sot_sequence, self.rules)
+            offset = seek * _SAMPLES_PER_FRAME / 16000.0
+            window_segs = tokens_to_segments(
+                tokens[0], self.tokenizer, segment_offset_sec=offset)
+            segments.extend(window_segs)
+            if window_segs and window_segs[-1]["end"] > offset:
+                # timestamp-driven seek (ref:transcribe.py:150-192)
+                seek = int(round((window_segs[-1]["end"]) * 100))
+                seek = max(seek, end if end == num_frames else seek)
+            else:
+                seek = end
+            if seek <= 0 or seek >= num_frames:
+                break
+        return segments
+
+
+def make_transcriber(
+    config: Optional[WhisperConfig] = None,
+    checkpoint_path: Optional[str] = None,
+    vocab_path: Optional[str] = None,
+    language: str = "en",
+) -> WhisperTranscriber:
+    """Production factory: load encoder+decoder weights from a torch
+    whisper checkpoint (`$LATENTSYNC_WHISPER_CKPT`) and the vocab from
+    `$LATENTSYNC_WHISPER_VOCAB` (see docs/weights.md)."""
+    from .tokenizer import get_tokenizer
+
+    config = config or WhisperConfig.tiny()
+    enc_params = dec_params = None
+    checkpoint_path = checkpoint_path or os.environ.get("LATENTSYNC_WHISPER_CKPT")
+    if checkpoint_path and os.path.isfile(checkpoint_path):
+        from ..models.whisper_decoder import convert_whisper_decoder
+        from ..utils.convert import convert_whisper_encoder, load_torch_state_dict
+
+        state, _ = load_torch_state_dict(checkpoint_path)
+        enc_params = convert_whisper_encoder(state)
+        dec_params = convert_whisper_decoder(state)
+    tok = get_tokenizer(multilingual=True, vocab_path=vocab_path,
+                        language=language)
+    return WhisperTranscriber(config, enc_params, dec_params, tok,
+                              language=language)

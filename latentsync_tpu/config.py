@@ -130,6 +130,12 @@ class WhisperConfig:
     n_audio_state: int = 384
     n_audio_head: int = 6
     n_audio_layer: int = 4
+    # text decoder dims (ref:whisper/model.py:15-27; multilingual vocab)
+    n_vocab: int = 51865
+    n_text_ctx: int = 448
+    n_text_state: int = 384
+    n_text_head: int = 6
+    n_text_layer: int = 4
 
     @classmethod
     def tiny(cls) -> "WhisperConfig":
@@ -137,7 +143,8 @@ class WhisperConfig:
 
     @classmethod
     def small(cls) -> "WhisperConfig":
-        return cls(n_audio_state=768, n_audio_head=12, n_audio_layer=12)
+        return cls(n_audio_state=768, n_audio_head=12, n_audio_layer=12,
+                   n_text_state=768, n_text_head=12, n_text_layer=12)
 
 
 @dataclass(frozen=True)
