@@ -54,6 +54,44 @@ FACE_SURROUND_LANDMARKS = [
 # (ref:image_processor.py:104-108)
 EYE_SPLIT_LANDMARK = 195
 
+# 68-point (iBUG face-alignment layout) equivalents for the live path
+# when only a FAN detector is configured: outer-lip ring, lower-face
+# ring (jawline + under-nose closure), and the mid-nose-bridge split row
+MOUTH_RING_68 = list(range(48, 60))
+FACE_RING_68 = list(range(2, 15)) + [35, 34, 33, 32, 31]
+EYE_SPLIT_68 = 28
+
+
+def landmark_mask_from_68(
+    mask_mode: str, lm68: np.ndarray, resolution: int,
+    mouth_dilate: float = 1.3,
+) -> np.ndarray:
+    """KEEP mask for the mouth/face/eye modes from 68-point landmarks.
+
+    Live equivalent of the 478-mesh rings (ref:image_processor.py:83-108)
+    for the FAN detector: the mouth ring is the outer-lip polygon dilated
+    about its centroid (the mediapipe surround ring sits outside the
+    lips), the face ring is the jawline closed under the nose, and the
+    eye mode splits at the nose-bridge row."""
+    lm68 = np.asarray(lm68, np.float64)
+    mask = np.ones((resolution, resolution), np.float32)
+    if mask_mode == "mouth":
+        pts = lm68[MOUTH_RING_68, :2]
+        c = pts.mean(0)
+        pts = c + (pts - c) * mouth_dilate
+        hull = cv2.convexHull(pts.astype(np.int32))
+        cv2.fillConvexPoly(mask, hull, 0.0)
+    elif mask_mode == "face":
+        pts = lm68[FACE_RING_68, :2].astype(np.int32)
+        hull = cv2.convexHull(pts)
+        cv2.fillConvexPoly(mask, hull, 0.0)
+    elif mask_mode == "eye":
+        y = int(lm68[EYE_SPLIT_68][1])
+        mask[max(y, 0):, :] = 0.0
+    else:
+        raise ValueError(f"unknown mask mode {mask_mode!r}")
+    return mask
+
 
 def mediapipe_lm478_to_lm68(lm478: np.ndarray) -> np.ndarray:
     """(478, 2+) mediapipe mesh → (68, 2) face-alignment landmarks
@@ -204,26 +242,39 @@ class ImageProcessor:
             ]
         )
 
-    def _landmark_mask(self, face: np.ndarray, lm478: Optional[np.ndarray]) -> np.ndarray:
+    def _landmark_mask(self, face: np.ndarray, lm: Optional[np.ndarray]) -> np.ndarray:
         """Per-frame KEEP mask for the landmark-driven modes
         (ref:image_processor.py:83-108): mouth/face fill the surround
-        polygon with 0; eye zeroes everything below the nose-bridge row."""
-        if lm478 is None:
-            if self.face_mesh is None:
-                raise ValueError(
-                    f"mask mode {self.mask!r} needs 478-point landmarks: pass "
-                    "landmarks478 or construct ImageProcessor(face_mesh=...)"
-                )
-            lm478 = np.asarray(self.face_mesh(face))
-        lm478 = np.asarray(lm478)
+        polygon with 0; eye zeroes everything below the nose-bridge row.
+
+        Landmark sources, in order: explicit `lm` ((478, 2) mesh or
+        (68, 2) face-alignment points), the bound `face_mesh` callable,
+        or a LIVE run of the 68-point landmark detector on the crop —
+        so the modes work with only the FAN checkpoint configured."""
+        if lm is None:
+            if self.face_mesh is not None:
+                lm = np.asarray(self.face_mesh(face))
+            else:
+                if self.landmark_detector is None:
+                    self.landmark_detector = default_landmark_detector()
+                lm = np.asarray(self.landmark_detector(face))
+                if lm.shape[0] < 68:
+                    raise ValueError(
+                        f"mask mode {self.mask!r} needs dense landmarks; the "
+                        "configured detector returned only box anchors — set "
+                        "LATENTSYNC_FAN_CKPT or pass landmarks478/face_mesh"
+                    )
+        lm = np.asarray(lm)
+        if lm.shape[0] == 68:
+            return landmark_mask_from_68(self.mask, lm, self.resolution)
         mask = np.ones((self.resolution, self.resolution), np.float32)
         if self.mask in ("mouth", "face"):
             ring = (MOUTH_SURROUND_LANDMARKS if self.mask == "mouth"
                     else FACE_SURROUND_LANDMARKS)
-            points = lm478[ring, :2].astype(np.int32)
+            points = lm[ring, :2].astype(np.int32)
             cv2.fillPoly(mask, pts=[points], color=0.0)
         elif self.mask == "eye":
-            y = int(lm478[EYE_SPLIT_LANDMARK][1])
+            y = int(lm[EYE_SPLIT_LANDMARK][1])
             mask[max(y, 0):, :] = 0.0
         else:
             raise ValueError(f"unknown mask mode {self.mask!r}")

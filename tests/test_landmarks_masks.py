@@ -227,3 +227,90 @@ def test_iou_tracking_gap_stitch_and_interpolation():
     # min_face_size drops small faces
     small = [[np.array([0, 0, 20, 20, 0.9])] for _ in range(20)]
     assert iou_tracking(small, min_track=5, min_face_size=100) == []
+
+
+def _lm68_face(res=64):
+    """Synthetic 68-point landmarks of a face filling most of the crop."""
+    lm = np.zeros((68, 2))
+    # jawline: ellipse arc across the lower face
+    ang = np.linspace(np.pi * 0.05, np.pi * 0.95, 17)
+    lm[0:17, 0] = res / 2 + (res * 0.42) * np.cos(ang[::-1])
+    lm[0:17, 1] = res * 0.45 + (res * 0.45) * np.sin(ang[::-1])
+    # nose base under the nostrils
+    lm[31:36, 0] = np.linspace(res * 0.4, res * 0.6, 5)
+    lm[31:36, 1] = res * 0.55
+    # nose bridge
+    lm[27:31, 0] = res / 2
+    lm[27:31, 1] = np.linspace(res * 0.3, res * 0.5, 4)
+    # outer lips: ellipse around (res/2, res*0.72)
+    ang = np.linspace(0, 2 * np.pi, 12, endpoint=False)
+    lm[48:60, 0] = res / 2 + res * 0.15 * np.cos(ang)
+    lm[48:60, 1] = res * 0.72 + res * 0.08 * np.sin(ang)
+    return lm
+
+
+def test_mouth_mask_from_68_landmarks():
+    """Live FAN-68 path (VERDICT r02 #6): mouth mode works from 68-point
+    landmarks with the dilated outer-lip hull."""
+    res = 64
+    proc = ImageProcessor(resolution=res, mask="mouth")
+    lm = _lm68_face(res)
+    faces = np.full((1, res, res, 3), 128, np.uint8)
+    _, masked, masks = proc.prepare_masks_and_masked_images(
+        faces, landmarks478=lm[None])
+    assert masks[0, int(res * 0.72), res // 2, 0] == 0.0  # lip center
+    assert masks[0, 3, 3, 0] == 1.0                        # far corner
+    # dilation 1.3: point just outside the lip ring is still masked
+    assert masks[0, int(res * 0.72), int(res / 2 + res * 0.17), 0] == 0.0
+
+
+def test_face_mask_from_68_landmarks():
+    res = 64
+    proc = ImageProcessor(resolution=res, mask="face")
+    lm = _lm68_face(res)
+    faces = np.full((1, res, res, 3), 128, np.uint8)
+    _, _, masks = proc.prepare_masks_and_masked_images(
+        faces, landmarks478=lm[None])
+    assert masks[0, int(res * 0.75), res // 2, 0] == 0.0  # chin region
+    assert masks[0, 2, 2, 0] == 1.0                        # forehead corner
+    assert masks[0, int(res * 0.3), res // 2, 0] == 1.0    # above the nose
+
+
+def test_eye_mask_from_68_landmarks():
+    res = 64
+    proc = ImageProcessor(resolution=res, mask="eye")
+    lm = _lm68_face(res)
+    lm[28] = (res / 2, 22)
+    faces = np.full((1, res, res, 3), 128, np.uint8)
+    _, _, masks = proc.prepare_masks_and_masked_images(
+        faces, landmarks478=lm[None])
+    assert np.all(masks[0, :22, :, 0] == 1.0)
+    assert np.all(masks[0, 22:, :, 0] == 0.0)
+
+
+def test_landmark_mask_runs_detector_live():
+    """With no explicit landmarks and no face_mesh, the bound 68-point
+    detector runs on the crop."""
+    res = 64
+    calls = []
+
+    def fake_fan(img):
+        calls.append(img.shape)
+        return _lm68_face(res)
+
+    proc = ImageProcessor(resolution=res, mask="mouth",
+                          landmark_detector=fake_fan)
+    faces = np.full((2, res, res, 3), 128, np.uint8)
+    _, _, masks = proc.prepare_masks_and_masked_images(faces)
+    assert len(calls) == 2
+    assert masks[0, int(res * 0.72), res // 2, 0] == 0.0
+
+
+def test_landmark_mask_anchor_detector_rejected():
+    """A 3-anchor (box-level) detector cannot drive dense masks."""
+    res = 32
+    proc = ImageProcessor(resolution=res, mask="mouth",
+                          landmark_detector=lambda img: np.zeros((3, 2)))
+    with pytest.raises(ValueError, match="dense landmarks"):
+        proc.prepare_masks_and_masked_images(
+            np.zeros((1, res, res, 3), np.uint8))
