@@ -126,27 +126,54 @@ def resample_fps_hz(input_dir: str, output_dir: str, fps: int = 25,
     return out
 
 
-def detect_shots(frames: np.ndarray, threshold: float = 12.0,
-                 window: int = 12, min_len: int = 15) -> List[int]:
-    """Adaptive shot-boundary detector: per-frame mean abs HSV delta
-    compared against a rolling-average baseline (the technique behind
-    pyscenedetect's AdaptiveDetector). Returns cut indices."""
+def content_scores(frames: np.ndarray) -> np.ndarray:
+    """Per-frame content score: the mean absolute per-channel HSV delta
+    between consecutive frames, channels averaged — pyscenedetect
+    ContentDetector's frame score with default component weights
+    (hue/sat/lum 1.0 each, edges 0). scores[0] = 0."""
     import cv2
 
-    deltas = np.zeros(len(frames))
+    scores = np.zeros(len(frames), np.float64)
     prev = None
     for i, frame in enumerate(frames):
-        small = cv2.resize(frame, (64, 64))
-        hsv = cv2.cvtColor(small, cv2.COLOR_RGB2HSV).astype(np.float32)
+        hsv = cv2.cvtColor(frame, cv2.COLOR_RGB2HSV).astype(np.int16)
         if prev is not None:
-            deltas[i] = np.abs(hsv - prev).mean()
+            scores[i] = np.abs(hsv - prev).mean(axis=(0, 1)).mean()
         prev = hsv
-    cuts = []
+    return scores
+
+
+def detect_shots(frames: np.ndarray, adaptive_threshold: float = 2.0,
+                 min_content_val: float = 15.0, window_width: int = 2,
+                 min_scene_len: int = 15) -> List[int]:
+    """Shot-boundary detection with pyscenedetect AdaptiveDetector
+    semantics — the reference preprocess runs `scenedetect
+    detect-adaptive --threshold 2` (ref:preprocess/detect_shot.py:38).
+
+    A frame i is a cut when:
+    - its adaptive ratio score[i] / mean(score over the ±window_width
+      surrounding frames, i excluded) ≥ adaptive_threshold,
+    - its raw content score ≥ min_content_val (rejects cuts in near-
+      static footage where tiny ratios explode), and
+    - at least min_scene_len frames passed since the last cut.
+    Frames whose surrounding window is incomplete are never cuts
+    (AdaptiveDetector delays by window_width). Gradual fades produce
+    flat score plateaus with ratio ≈ 1 and are NOT cut — the behavior
+    the plain-threshold heuristic this replaces got wrong."""
+    n = len(frames)
+    scores = content_scores(frames)
+    cuts: List[int] = []
     last_cut = 0
-    for i in range(1, len(frames)):
-        lo = max(0, i - window)
-        baseline = np.median(deltas[lo:i]) + 1e-3
-        if deltas[i] > threshold and deltas[i] > 3.0 * baseline and i - last_cut >= min_len:
+    for i in range(1, n):
+        lo, hi = i - window_width, i + window_width
+        if lo < 1 or hi >= n:
+            continue  # incomplete surrounding window
+        surround = np.concatenate([scores[lo:i], scores[i + 1:hi + 1]])
+        denom = surround.mean()
+        ratio = scores[i] / denom if denom > 1e-5 else (
+            255.0 if scores[i] >= min_content_val else 0.0)
+        if (ratio >= adaptive_threshold and scores[i] >= min_content_val
+                and i - last_cut >= min_scene_len):
             cuts.append(i)
             last_cut = i
     return cuts
