@@ -1,0 +1,78 @@
+"""Int8 dynamic-quantized 2D convolution for the UNet hot path.
+
+Measured on the attached v5e (scripts/micro_probe --which int8): the
+int8 MXU path runs the UNet's 3×3 convs ~1.5-1.6× faster than bf16
+(conv3x3 32²×320: 1.96 → 1.23 ms; 16²×640: 1.70 → 1.12; 8²×1280:
+1.71 → 1.10 — dynamic quantization included), while the dense/matmul
+families are a wash or a regression (GEGLU up-proj 320→2560:
+2.01 → 2.78 ms). The int8 path therefore covers ONLY the conv family —
+40% of the forward's FLOPs — and leaves dense, attention, norms and the
+DDIM step in bf16/f32.
+
+Quantization scheme (chosen for the statistical fidelity gate — SyncNet
+confidence within 2% of the reference, BASELINE.md — not bitwise
+parity):
+- weights: symmetric per-output-channel scales, computed from the live
+  bf16/f32 params at trace time (param tree and checkpoint converters
+  unchanged; requantization costs one pass over ~MB of weight bytes);
+- activations: symmetric per-sample (per frame) scales from a dynamic
+  |x| max — no calibration pass needed;
+- accumulation in int32, dequant fused into the conv epilogue by XLA
+  (measured: the dyn path costs ≈ nothing over pre-quantized inputs).
+
+Enable with LATENTSYNC_INT8=1 (read at trace time). Validation protocol
+once real weights drop in: convert checkpoint → run the demo clip with
+LATENTSYNC_INT8=1 → scripts/eval_sync_conf on the output → gate at 2%
+vs the bf16 run (docs/perf_audit.md "int8 numerics").
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def int8_enabled() -> bool:
+    """Checked at trace time — set LATENTSYNC_INT8 before the first
+    pipeline call (compiled programs bake the choice in)."""
+    return os.environ.get("LATENTSYNC_INT8") == "1"
+
+
+def quantized_conv2d(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: Optional[jnp.ndarray],
+    strides: Tuple[int, int] = (1, 1),
+    padding="SAME",
+) -> jnp.ndarray:
+    """NHWC × HWIO int8 conv with dynamic activation quantization.
+
+    x: (B, H, W, Cin) float; kernel: (kh, kw, Cin, Cout) float.
+    Returns x.dtype. Out-channel weight scales × per-sample activation
+    scales make the dequant exact per (sample, channel) pair.
+    """
+    f32 = jnp.float32
+    w = kernel.astype(f32)
+    wmax = jnp.max(jnp.abs(w), axis=(0, 1, 2), keepdims=True)  # (1,1,1,O)
+    wscale = jnp.maximum(wmax, 1e-8) / 127.0
+    wq = jnp.round(w / wscale).astype(jnp.int8)
+
+    xf = x.astype(f32)
+    amax = jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True)  # (B,1,1,1)
+    ascale = jnp.maximum(amax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(xf / ascale), -127, 127).astype(jnp.int8)
+
+    if isinstance(padding, int):
+        padding = [(padding, padding), (padding, padding)]
+    acc = jax.lax.conv_general_dilated(
+        xq, wq, strides, padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(f32) * (wscale.reshape(1, 1, 1, -1) * ascale)
+    if bias is not None:
+        out = out + bias.astype(f32)
+    return out.astype(x.dtype)

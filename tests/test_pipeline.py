@@ -181,3 +181,40 @@ def test_restore_per_frame_boxes(tmp_path, rng):
         # the face landed: strong diff vs the original frame inside the box
         inner = ref.astype(int) - frames[i].astype(int)
         assert np.abs(inner).mean() > 5.0
+
+
+def test_run_pipelined_multi_clip(tiny_pipeline, tmp_path, rng):
+    """Overlapped multi-clip execution produces the same outputs as the
+    serial path, in job order."""
+    import cv2
+
+    from latentsync_tpu.utils.media import read_video, write_audio
+
+    jobs = []
+    for i in range(2):
+        video_path = str(tmp_path / f"pin{i}.mp4")
+        frames = (rng.random((30, 64, 64, 3)) * 200 + 30).astype(np.uint8)
+        w = cv2.VideoWriter(video_path, cv2.VideoWriter_fourcc(*"mp4v"), 25,
+                            (64, 64))
+        for fr in frames:
+            w.write(cv2.cvtColor(fr, cv2.COLOR_RGB2BGR))
+        w.release()
+        audio_path = str(tmp_path / f"pin{i}.wav")
+        write_audio(audio_path,
+                    (rng.standard_normal(19200) * 0.05).astype(np.float32))
+        jobs.append((video_path, audio_path, str(tmp_path / f"pout{i}.mp4")))
+
+    outs = tiny_pipeline.run_pipelined(jobs, num_frames=4)
+    assert [o.video_path for o in outs] == [j[2] for j in jobs]
+    for _, _, out_path in jobs:
+        assert os.path.exists(out_path)
+        got = read_video(out_path, change_fps=False)
+        assert len(got) >= 28
+
+    # matches the serial path frame-for-frame (same seed, same inputs)
+    serial_out = str(tmp_path / "serial0.mp4")
+    tiny_pipeline(jobs[0][0], jobs[0][1], serial_out, num_frames=4)
+    a = read_video(jobs[0][2], change_fps=False)
+    b = read_video(serial_out, change_fps=False)
+    assert a.shape == b.shape
+    assert np.mean(np.abs(a.astype(np.int16) - b.astype(np.int16))) < 1.5
