@@ -63,6 +63,22 @@ class LocalDirQueue:
             json.dump(job, f)
 
 
+def _default_transcriber():
+    """In-repo Whisper transcriber when weights + vocab are configured
+    via $LATENTSYNC_WHISPER_CKPT / $LATENTSYNC_WHISPER_VOCAB (the
+    reference shells out to an external whisper binary here,
+    ref:whisper.ts:15-40); None when unconfigured."""
+    if not os.environ.get("LATENTSYNC_WHISPER_VOCAB"):
+        return None
+    try:
+        from ..audio.transcribe import make_transcriber
+
+        return make_transcriber()
+    except Exception as e:  # noqa: BLE001 — subtitles are best-effort
+        print(f"in-repo transcriber unavailable: {e}")
+        return None
+
+
 @dataclass
 class QueueWorker:
     queue: LocalDirQueue
@@ -95,11 +111,14 @@ class QueueWorker:
             helpers.concat_videos(parts, merged)
             output = merged
             extra["concatenated"] = True
-        if job.get("subtitles") and self.transcriber is not None:
-            audio_src = job.get("audio_path") or output
-            uri = helpers.generate_subtitles(audio_src, self.transcriber)
-            if uri:
-                extra["subtitles_uri"] = uri
+        if job.get("subtitles"):
+            if self.transcriber is None:
+                self.transcriber = _default_transcriber()
+            if self.transcriber is not None:
+                audio_src = job.get("audio_path") or output
+                uri = helpers.generate_subtitles(audio_src, self.transcriber)
+                if uri:
+                    extra["subtitles_uri"] = uri
         extra["output"] = output
         return extra
 
