@@ -159,7 +159,9 @@ class OptionTrainer:
             output_dir: Optional[str] = None, log_every: int = 10,
             batch_fn: Optional[Callable[[int], Dict[str, np.ndarray]]] = None):
         from ..utils.checkpoint import save_checkpoint
+        from .loggers import build_loggers
 
+        logger = build_loggers(self.opt, output_dir, console=self.log)
         steps = min(self.total_iter, max_steps or self.total_iter)
         g_params, d_params = self._init_params(
             int(self.opt.get("manual_seed", 0)), img_size)
@@ -195,10 +197,11 @@ class OptionTrainer:
                 ema_params = ema_update(ema_params, g_params, self.ema_decay)
             metrics = {k: float(v) for k, v in m.items()}
             if step % log_every == 0 or step == steps:
-                self.log(json.dumps({
-                    "step": step, "iters_per_sec": round(step / (time.time() - t0), 3),
+                logger(step, {
+                    "iters_per_sec": round(step / (time.time() - t0), 3),
                     **metrics,
-                }))
+                })
+        logger.close()
         if output_dir:
             save_checkpoint(output_dir, steps,
                             ema_params if ema_params is not None else g_params)

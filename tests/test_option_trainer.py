@@ -106,3 +106,41 @@ def test_validate_metrics():
               rng.uniform(-1, 1, (16, 16, 3)).astype(np.float32))]
     out = validate(params, net, pairs, metrics=("psnr",))
     assert np.isfinite(out["psnr"])
+
+
+def test_tensorboard_logger_writes_events(tmp_path):
+    """logger.use_tb_logger emits TensorBoard event files with the
+    trained scalars (basicsr train.py:55-69 equivalent)."""
+    from latentsync_tpu.training.loggers import build_loggers
+
+    lines = []
+    logger = build_loggers({"logger": {"use_tb_logger": True}},
+                           str(tmp_path), console=lines.append)
+    logger(1, {"l_g_total": 0.5, "note": "not-a-number"})
+    logger(2, {"l_g_total": 0.25})
+    logger.close()
+    tb_dir = tmp_path / "tb_logger"
+    events = list(tb_dir.glob("events.out.tfevents.*"))
+    assert events and events[0].stat().st_size > 0
+    assert len(lines) == 2 and '"l_g_total": 0.5' in lines[0]
+
+    # scalars actually round-trip
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator,
+    )
+
+    acc = EventAccumulator(str(tb_dir))
+    acc.Reload()
+    vals = {e.step: e.value for e in acc.Scalars("l_g_total")}
+    assert vals == {1: 0.5, 2: 0.25}
+
+
+def test_build_loggers_without_sinks_is_console_only(tmp_path):
+    from latentsync_tpu.training.loggers import build_loggers
+
+    lines = []
+    logger = build_loggers({}, str(tmp_path), console=lines.append)
+    logger(5, {"loss": 1.0})
+    logger.close()
+    assert lines == ['{"step": 5, "loss": 1.0}']
+    assert not (tmp_path / "tb_logger").exists()
