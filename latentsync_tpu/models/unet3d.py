@@ -227,20 +227,6 @@ class ResnetBlock3D(nn.Module):
         return (x + h) / self.output_scale_factor
 
 
-class _ProjKernel(nn.Module):
-    """Bare projection weight with nn.Dense's param layout ({kernel}),
-    so fused-QKV instances keep the exact checkpoint tree."""
-
-    features: int
-
-    @nn.compact
-    def __call__(self, in_features: int):
-        return self.param(
-            "kernel", nn.initializers.lecun_normal(),
-            (in_features, self.features), jnp.float32,
-        )
-
-
 class CrossAttention(nn.Module):
     """diffusers-style attention (ref:attention.py:202-280): unbiased
     q/k/v projections, biased output projection, f32 softmax.
@@ -249,10 +235,10 @@ class CrossAttention(nn.Module):
     small-sequence kernel (ops/temporal_attention.py) — same math, one
     VMEM-resident program instead of transposes + HBM logits.
 
-    Self-attention fuses the q/k/v projections into ONE matmul over the
-    concatenated (C, 3·inner) weight — one input read + one dispatch
-    instead of three; the concat touches only ~MBs of weight bytes per
-    step and the param tree (to_q/to_k/to_v kernels) is unchanged."""
+    q/k/v stay three separate matmuls: a fused (C, 3C) projection was
+    measured SLOWER end-to-end (8.51 → 8.13 fps, bench r03) — at C=320
+    the 960-lane output splits at non-128-aligned boundaries, forcing
+    relayout copies that cost more than the saved input reads."""
 
     query_dim: int
     heads: int
@@ -266,18 +252,9 @@ class CrossAttention(nn.Module):
     def __call__(self, x, context=None):
         inner = self.heads * self.dim_head
         context = x if context is None else context
-        if context is x:
-            cin = x.shape[-1]
-            wq = _ProjKernel(inner, name="to_q")(cin)
-            wk = _ProjKernel(inner, name="to_k")(cin)
-            wv = _ProjKernel(inner, name="to_v")(cin)
-            w = jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype)
-            qkv = x @ w
-            q, k, v = jnp.split(qkv, 3, axis=-1)
-        else:
-            q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-            k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
-            v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
         b, sq, _ = q.shape
         if self.temporal and context is x:
             from ..ops.temporal_attention import temporal_attention

@@ -149,23 +149,80 @@ class LipsyncPipeline:
         ]
         return jnp.concatenate(outs, axis=0)[:n] if len(outs) > 1 else outs[0][:n]
 
-    def _vae_decode(self, latents: jnp.ndarray, chunk: int = 64) -> jnp.ndarray:
-        if "fn" not in self._decode_jit:
+    def _vae_encode_pair(self, faces_u8, keep, chunk: int = 64):
+        """uint8 face crops + compact KEEP mask → (masked_latents,
+        ref_latents), both scaled. Normalization and masking run inside
+        the jit: the host uploads 25 MB of uint8 frames + one compact
+        mask instead of two 100 MB float tensors (the h2d upload was a
+        top cost of the measured e2e path on the tunneled transport).
+        keep: (1, H, W, C) shared across the clip or (N, H, W, C)
+        per-frame."""
+        shared = keep.shape[0] == 1
+        key = ("pair", shared)
+        if key not in self._encode_jit:
+            cfg = self.config.vae
+
+            @jax.jit
+            def enc2(params, f_u8, m):
+                pix = f_u8.astype(jnp.float32) / 255.0 * 2.0 - 1.0
+                masked = pix * m.astype(jnp.float32)
+                zr = scale_latents(
+                    self.vae.apply(params, pix.astype(self.dtype),
+                                   method="encode"), cfg)
+                zm = scale_latents(
+                    self.vae.apply(params, masked.astype(self.dtype),
+                                   method="encode"), cfg)
+                return zm, zr
+
+            self._encode_jit[key] = enc2
+        fn = self._encode_jit[key]
+        n = faces_u8.shape[0]
+        size = min(_bucket(n), chunk) if n <= chunk else chunk
+        pad = (-n) % size
+        f = np.concatenate([faces_u8, np.repeat(faces_u8[-1:], pad, axis=0)]) \
+            if pad else faces_u8
+        if not shared and pad:
+            keep = np.concatenate([keep, np.repeat(keep[-1:], pad, axis=0)])
+        zms, zrs = [], []
+        mask_dev = jnp.asarray(keep) if shared else None
+        for i in range(0, n + pad, size):
+            m = mask_dev if shared else jnp.asarray(keep[i : i + size])
+            zm, zr = fn(self.vae_params, jnp.asarray(f[i : i + size]), m)
+            zms.append(zm)
+            zrs.append(zr)
+        zm = jnp.concatenate(zms, axis=0)[:n] if len(zms) > 1 else zms[0][:n]
+        zr = jnp.concatenate(zrs, axis=0)[:n] if len(zrs) > 1 else zrs[0][:n]
+        return zm, zr
+
+    def _vae_decode(self, latents: jnp.ndarray, chunk: int = 64,
+                    as_uint8: bool = False) -> jnp.ndarray:
+        """Decode latents; `as_uint8` folds the [-1,1]→uint8 denormalize
+        into the jitted program so the host fetch is 4× smaller (the
+        composite then runs in numpy — on the tunneled transport, moving
+        host arrays TO the device for compositing costs far more than
+        the composite saves)."""
+        key = "u8" if as_uint8 else "fn"
+        if key not in self._decode_jit:
             cfg = self.config.vae
 
             @jax.jit
             def dec(params, z):
-                return self.vae.apply(
+                img = self.vae.apply(
                     params, unscale_latents(z, cfg).astype(self.dtype), method="decode"
                 )
+                if as_uint8:
+                    img = jnp.clip(
+                        (img.astype(jnp.float32) + 1.0) * 127.5, 0, 255
+                    ).astype(jnp.uint8)
+                return img
 
-            self._decode_jit["fn"] = dec
+            self._decode_jit[key] = dec
         n = latents.shape[0]
         size = min(_bucket(n), chunk) if n <= chunk else chunk
         pad = (-n) % size
         z = jnp.pad(latents, ((0, pad), (0, 0), (0, 0), (0, 0))) if pad else latents
         outs = [
-            self._decode_jit["fn"](self.vae_params, z[i : i + size])
+            self._decode_jit[key](self.vae_params, z[i : i + size])
             for i in range(0, n + pad, size)
         ]
         return jnp.concatenate(outs, axis=0)[:n] if len(outs) > 1 else outs[0][:n]
@@ -279,16 +336,27 @@ class LipsyncPipeline:
         total = num_windows * num_frames
         faces = faces[:total]
 
-        # 3. masks + VAE encodes, batched over ALL frames
+        # 3. masks + VAE encodes, batched over ALL frames. Uploads are
+        # compact (uint8 faces + ONE keep mask when the mode is
+        # per-clip); normalize/mask/encode fuse in one jit per chunk —
+        # the old two-float-tensor upload was ~200 MB/clip through the
+        # tunnel (bench r03 e2e).
         t0 = time.time()
-        pixel_values, masked_pixel, masks = processor.prepare_masks_and_masked_images(
-            faces
+        faces_rs = processor.resize_batch(faces)
+        pixel_values = processor.normalize(faces_rs)
+        keep = processor.keep_mask(faces_rs)
+        masks = np.ascontiguousarray(
+            np.broadcast_to(keep[..., :1], pixel_values.shape[:3] + (1,))
         )
         lat_hw = res // cfg.vae.scale_factor
-        masked_lat = self._vae_encode(jnp.asarray(masked_pixel))
-        ref_lat = self._vae_encode(jnp.asarray(pixel_values))
-        mask_small = jax.image.resize(
-            jnp.asarray(masks[..., :1]), (total, lat_hw, lat_hw, 1), method="nearest"
+        masked_lat, ref_lat = self._vae_encode_pair(faces_rs, keep)
+        keep_small = jax.image.resize(
+            jnp.asarray(keep[..., :1]),
+            (keep.shape[0], lat_hw, lat_hw, 1), method="nearest",
+        )
+        mask_small = (
+            jnp.broadcast_to(keep_small, (total, lat_hw, lat_hw, 1))
+            if keep.shape[0] == 1 else keep_small
         )
         timings["vae_encode"] = float(time.time() - t0)
 
@@ -375,11 +443,14 @@ class LipsyncPipeline:
                 ])
             return resized
 
-        # LATENTSYNC_RESTORE=device|native|cv2 forces a path; default: the
-        # device composite when an accelerator is attached (on remote-
-        # tunneled devices the host-native path can win — transfers
-        # dominate there, not compute)
-        prefer = os.environ.get("LATENTSYNC_RESTORE", "device")
+        # LATENTSYNC_RESTORE=device|native|cv2 forces a path; default:
+        # the device composite ONLY on a directly-attached TPU. On the
+        # remote-tunneled (axon) transport the device path measured
+        # 150 s for a 5 s 1080p clip (bench r03 e2e) — ~1.5 GB of frame
+        # traffic through the tunnel — while the OpenMP native path
+        # does the same work in seconds.
+        default_path = "device" if jax.default_backend() == "tpu" else "native"
+        prefer = os.environ.get("LATENTSYNC_RESTORE", default_path)
         if prefer == "device" and jax.default_backend() != "cpu":
             try:
                 from ..ops.restore import restore_frames_device
@@ -421,14 +492,17 @@ class LipsyncPipeline:
         t_start = state.start_time
 
         # 6. decode + paste surrounding pixels back
-        # (ref:lipsync_pipeline.py:570-574)
+        # (ref:lipsync_pipeline.py:570-574). The decode fetches uint8
+        # (4× less tunnel traffic) and the masked composite runs in host
+        # numpy: masks/pixel_values already live on the host, and
+        # shipping ~130 MB of them to the device cost more than the
+        # composite (bench r03 e2e).
         t0 = time.time()
-        decoded = self._vae_decode(latents.reshape((total, lat_hw, lat_hw, 4)))
-        decoded = jnp.asarray(decoded, jnp.float32)
-        masks_j = jnp.asarray(masks[..., :1])
-        pix_j = jnp.asarray(pixel_values)
-        combined = decoded * (1.0 - masks_j) + pix_j * masks_j
-        combined = np.asarray(jnp.clip((combined + 1.0) * 127.5, 0, 255).astype(jnp.uint8))
+        decoded_u8 = np.asarray(self._vae_decode(
+            latents.reshape((total, lat_hw, lat_hw, 4)), as_uint8=True))
+        m = masks[..., :1].astype(np.float32)
+        pix_u8 = np.clip((pixel_values + 1.0) * 127.5, 0, 255)
+        combined = (decoded_u8 * (1.0 - m) + pix_u8 * m).astype(np.uint8)
         timings["vae_decode"] = float(time.time() - t0)
 
         # 7. restore into original frames (ref:lipsync_pipeline.py:343-358):

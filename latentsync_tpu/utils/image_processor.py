@@ -280,6 +280,27 @@ class ImageProcessor:
             raise ValueError(f"unknown mask mode {self.mask!r}")
         return mask
 
+    def keep_mask(
+        self, faces: np.ndarray, landmarks478: Optional[np.ndarray] = None
+    ) -> np.ndarray:
+        """Compact KEEP mask (1 = keep original, 0 = regenerate):
+        (1, H, W, 3) for the per-clip fix_mask/half modes, (F, H, W, 1)
+        for the per-frame landmark modes. The compact form lets the
+        pipeline upload ONE mask instead of F broadcast copies."""
+        if self.mask == "fix_mask":
+            return self.mask_image[None]
+        if self.mask == "half":
+            keep = np.ones((1, self.resolution, self.resolution, 3), np.float32)
+            keep[:, self.resolution // 2:, :, :] = 0
+            return keep
+        faces = self.resize_batch(faces)
+        return np.stack([
+            self._landmark_mask(
+                faces[i], None if landmarks478 is None else landmarks478[i]
+            )
+            for i in range(len(faces))
+        ])[..., None]  # (F, H, W, 1)
+
     def prepare_masks_and_masked_images(
         self, faces: np.ndarray, landmarks478: Optional[np.ndarray] = None
     ):
@@ -296,25 +317,9 @@ class ImageProcessor:
         source)."""
         faces = self.resize_batch(faces)
         pixel_values = self.normalize(faces)
-        if self.mask == "fix_mask":
-            keep = self.mask_image[None]  # (1, H, W, 3), 1=keep
-            masked = pixel_values * keep
-            masks = keep[..., :1]  # single channel
-        elif self.mask == "half":
-            keep = np.ones_like(pixel_values[:1])
-            keep[:, self.resolution // 2:, :, :] = 0
-            masked = pixel_values * keep
-            masks = keep[..., :1]
-        else:
-            per_frame = np.stack([
-                self._landmark_mask(
-                    faces[i],
-                    None if landmarks478 is None else landmarks478[i],
-                )
-                for i in range(len(faces))
-            ])[..., None]  # (F, H, W, 1)
-            masked = pixel_values * per_frame
-            masks = per_frame
+        keep = self.keep_mask(faces, landmarks478)
+        masked = pixel_values * keep
+        masks = keep[..., :1]
         masks = np.broadcast_to(masks, pixel_values.shape[:3] + (1,))
         return pixel_values, masked, np.ascontiguousarray(masks)
 
