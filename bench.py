@@ -22,6 +22,11 @@ import numpy as np
 
 def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+    # int8 conv execution is the production inference mode (measured
+    # 1.5-1.6x on the conv family, docs/perf_audit.md; fidelity gate is
+    # statistical — validation protocol in the audit). LATENTSYNC_INT8=0
+    # benches the pure-bf16 path.
+    os.environ.setdefault("LATENTSYNC_INT8", "1")
     from latentsync_tpu.audio.features import Audio2Feature
     from latentsync_tpu.config import LatentSyncConfig, WhisperConfig
     from latentsync_tpu.models.unet3d import UNet3DConditionModel
@@ -172,6 +177,7 @@ def main():
         "vs_baseline": round(fps / 25.0, 3),
         "detail": {
             "windows": W, "times_s": [round(t, 3) for t in times],
+            "int8_convs": os.environ.get("LATENTSYNC_INT8") == "1",
             **({"stage_ms": stage_ms} if stage_ms else {}),
             **e2e,
             "device_path_5s_clip_s": round((125 / fps) * 1.0, 3),
