@@ -194,13 +194,7 @@ class LipsyncPipeline:
         zr = jnp.concatenate(zrs, axis=0)[:n] if len(zrs) > 1 else zrs[0][:n]
         return zm, zr
 
-    def _vae_decode(self, latents: jnp.ndarray, chunk: int = 64,
-                    as_uint8: bool = False) -> jnp.ndarray:
-        """Decode latents; `as_uint8` folds the [-1,1]→uint8 denormalize
-        into the jitted program so the host fetch is 4× smaller (the
-        composite then runs in numpy — on the tunneled transport, moving
-        host arrays TO the device for compositing costs far more than
-        the composite saves)."""
+    def _get_decode_fn(self, as_uint8: bool):
         key = "u8" if as_uint8 else "fn"
         if key not in self._decode_jit:
             cfg = self.config.vae
@@ -217,6 +211,16 @@ class LipsyncPipeline:
                 return img
 
             self._decode_jit[key] = dec
+        return self._decode_jit[key]
+
+    def _vae_decode(self, latents: jnp.ndarray, chunk: int = 64,
+                    as_uint8: bool = False) -> jnp.ndarray:
+        """Decode latents; `as_uint8` folds the [-1,1]→uint8 denormalize
+        into the jitted program so the host fetch is 4× smaller (the
+        composite then runs in numpy — on the tunneled transport, moving
+        host arrays TO the device for compositing costs far more than
+        the composite saves)."""
+        self._get_decode_fn(as_uint8)
         n = latents.shape[0]
         size = min(_bucket(n), chunk) if n <= chunk else chunk
         pad = (-n) % size
@@ -226,6 +230,23 @@ class LipsyncPipeline:
             for i in range(0, n + pad, size)
         ]
         return jnp.concatenate(outs, axis=0)[:n] if len(outs) > 1 else outs[0][:n]
+
+    def _vae_decode_chunks(self, latents: jnp.ndarray, chunk: int = 64,
+                           as_uint8: bool = False):
+        """Like _vae_decode but returns [(slice, device_array)] with ALL
+        chunk decodes dispatched up front — the caller fetches chunk i
+        (blocking only on it) while chunks i+1… still execute, so host
+        composite/restore of chunk i overlaps device decode of i+1."""
+        fn = self._get_decode_fn(as_uint8)
+        n = latents.shape[0]
+        size = min(_bucket(n), chunk) if n <= chunk else chunk
+        pad = (-n) % size
+        z = jnp.pad(latents, ((0, pad), (0, 0), (0, 0), (0, 0))) if pad else latents
+        pieces = []
+        for i in range(0, n + pad, size):
+            sl = slice(i, min(i + size, n))
+            pieces.append((sl, fn(self.vae_params, z[i : i + size])))
+        return pieces
 
     def _denoise_fn(self, num_steps: int, guidance: float, do_cfg: bool):
         key = (num_steps, float(guidance), do_cfg)
@@ -291,35 +312,61 @@ class LipsyncPipeline:
         res = height or cfg.data.resolution
         timings = {}
 
-        # 1. faces (ref:lipsync_pipeline.py:398-407)
-        t0 = time.time()
+        # 1+2. faces (host cv2 loop) and audio features (device encoder)
+        # run CONCURRENTLY: the face thread never touches the device, so
+        # the detection/warp loop hides under the whisper encode+fetch
+        # (SURVEY §7 pipelining; bench r03 measured both stages serial).
+        import threading
+
         mask_image = load_fixed_mask(res, mask_image_path)
         processor = ImageProcessor(
             res, mask=cfg.data.mask, mask_image=mask_image,
             landmark_detector=self.landmark_detector,
         )
-        if data_path:
-            data = np.load(data_path, allow_pickle=True)
-            faces = data["faces"]
-            boxes = list(data["boxes"])
-            matrices = list(data["affine_matrices"])
-            frames = read_video(video_path, change_fps=False)
-        else:
-            frames = read_video(video_path, change_fps=True, fps=video_fps)
-            faces, boxes, matrices = [], [], []
-            for frame in frames:
-                face, box, matrix = processor.affine_transform(frame)
-                faces.append(face)
-                boxes.append(box)
-                matrices.append(matrix)
-            faces = np.stack(faces)
-        timings["faces"] = time.time() - t0
+        face_result: dict = {}
 
-        # 2. audio features (ref:lipsync_pipeline.py:430-443)
+        def face_work():
+            t0 = time.time()
+            try:
+                if data_path:
+                    data = np.load(data_path, allow_pickle=True)
+                    faces = data["faces"]
+                    boxes = list(data["boxes"])
+                    matrices = list(data["affine_matrices"])
+                    frames = read_video(video_path, change_fps=False)
+                else:
+                    frames = read_video(video_path, change_fps=True, fps=video_fps)
+                    faces, boxes, matrices = [], [], []
+                    for frame in frames:
+                        face, box, matrix = processor.affine_transform(frame)
+                        faces.append(face)
+                        boxes.append(box)
+                        matrices.append(matrix)
+                    faces = np.stack(faces)
+                face_result.update(
+                    faces=faces, boxes=boxes, matrices=matrices, frames=frames)
+            except Exception as e:  # noqa: BLE001 — re-raised on join
+                face_result["error"] = e
+            face_result["elapsed"] = time.time() - t0
+
+        face_thread = threading.Thread(target=face_work, daemon=True)
+        face_thread.start()
+
         t0 = time.time()
         audio_samples = read_audio(audio_path, audio_sample_rate)
         feats = self.audio_encoder.audio2feat(audio_samples)
         chunks = self.audio_encoder.feature2chunks(feats, fps=video_fps)
+        timings["audio_device"] = time.time() - t0
+        face_thread.join()
+        if "error" in face_result:
+            raise face_result["error"]
+        faces = face_result["faces"]
+        boxes = face_result["boxes"]
+        matrices = face_result["matrices"]
+        frames = face_result["frames"]
+        timings["faces"] = face_result["elapsed"]
+
+        t0 = time.time()
         chunks, audio_samples, padding_sec = lrepeat.pad_chunks_end(
             chunks.astype(np.float32), audio_samples, audio_sample_rate,
             fps=video_fps, multiple=num_frames,
@@ -491,44 +538,50 @@ class LipsyncPipeline:
         audio_samples = state.audio_samples
         t_start = state.start_time
 
-        # 6. decode + paste surrounding pixels back
-        # (ref:lipsync_pipeline.py:570-574). The decode fetches uint8
-        # (4× less tunnel traffic) and the masked composite runs in host
-        # numpy: masks/pixel_values already live on the host, and
-        # shipping ~130 MB of them to the device cost more than the
-        # composite (bench r03 e2e).
+        # 6+7. decode, composite, restore — chunk-interleaved: every
+        # decode chunk is dispatched up front (async), then the host
+        # fetches chunk i (uint8, 4× less tunnel traffic), composites it
+        # in numpy (masks/pixels already live host-side), and restores
+        # its frames WHILE chunks i+1… still decode on the device
+        # (SURVEY §7 pipelining; ref:lipsync_pipeline.py:343-358,570-574
+        # runs these stages serially per clip).
         t0 = time.time()
-        decoded_u8 = np.asarray(self._vae_decode(
-            latents.reshape((total, lat_hw, lat_hw, 4)), as_uint8=True))
-        m = masks[..., :1].astype(np.float32)
+        pieces = self._vae_decode_chunks(
+            latents.reshape((total, lat_hw, lat_hw, 4)), as_uint8=True)
+        m_all = masks[..., :1].astype(np.float32)
         pix_u8 = np.clip((pixel_values + 1.0) * 127.5, 0, 255)
-        combined = (decoded_u8 * (1.0 - m) + pix_u8 * m).astype(np.uint8)
-        timings["vae_decode"] = float(time.time() - t0)
-
-        # 7. restore into original frames (ref:lipsync_pipeline.py:343-358):
-        # each decoded face resizes to ITS OWN box (boxes[index]) before the
-        # inverse warp. The repo's own detector emits one constant box per
-        # clip, but precomputed bundles (the production serving path) may
-        # carry real per-frame boxes — so group frames by crop size and run
-        # the batched device/native composite per group (one group in the
-        # common case).
-        t0 = time.time()
         mats = np.stack([np.asarray(m, np.float64) for m in matrices[:total]])
         out_frames = np.asarray(frames[:total]).copy()
         crop_hws = [
             (int(b[3] - b[1]), int(b[2] - b[0])) for b in boxes[:total]
         ]
-        groups = {}
-        for idx, hw in enumerate(crop_hws):
-            groups.setdefault(hw, []).append(idx)
-        for crop_hw, idxs in groups.items():
-            idx_arr = np.asarray(idxs)
-            restored = self._restore_group(
-                out_frames[idx_arr], combined[idx_arr], mats[idx_arr],
-                crop_hw, processor,
-            )
-            out_frames[idx_arr] = restored
-        timings["restore"] = float(time.time() - t0)
+        decode_s = restore_s = 0.0
+        for sl, dev in pieces:
+            tc = time.time()
+            dec_u8 = np.asarray(dev)[: sl.stop - sl.start]
+            m = m_all[sl]
+            combined = (dec_u8 * (1.0 - m) + pix_u8[sl] * m).astype(np.uint8)
+            decode_s += time.time() - tc
+
+            tc = time.time()
+            # each decoded face resizes to ITS OWN box before the inverse
+            # warp; the repo detector emits one constant box per clip, but
+            # precomputed bundles may carry real per-frame boxes — group
+            # by crop size within the chunk
+            groups = {}
+            for idx in range(sl.start, sl.stop):
+                groups.setdefault(crop_hws[idx], []).append(idx)
+            for crop_hw, idxs in groups.items():
+                idx_arr = np.asarray(idxs)
+                restored = self._restore_group(
+                    out_frames[idx_arr], combined[idx_arr - sl.start],
+                    mats[idx_arr], crop_hw, processor,
+                )
+                out_frames[idx_arr] = restored
+            restore_s += time.time() - tc
+        timings["vae_decode"] = decode_s
+        timings["restore"] = restore_s
+        timings["decode_restore_total"] = float(time.time() - t0)
 
         # 8. write + mux (ref:lipsync_pipeline.py:589-604)
         t0 = time.time()
