@@ -58,6 +58,26 @@ def _bucket(n: int, buckets=(1, 2, 4, 8, 16, 32, 64, 128)) -> int:
     return n
 
 
+@functools.lru_cache(maxsize=1)
+def _transport_is_fast(threshold_mb_s: float = 200.0) -> bool:
+    """One-time 4 MB h2d round-trip: directly-attached accelerators
+    measure GB/s; a remote tunnel measures tens of MB/s. Decides whether
+    bulk-pixel stages (restore) should ride the device at all."""
+    if jax.default_backend() == "cpu":
+        return False
+    try:
+        probe = np.zeros(4 * 1024 * 1024, np.uint8)
+        # warm the dispatch path so the measurement is pure transfer
+        np.asarray(jnp.asarray(probe[:1024])[:1])
+        t0 = time.perf_counter()
+        dev = jnp.asarray(probe)
+        np.asarray(dev[:1])  # fetch forces the upload to complete
+        bw = 4.0 / max(time.perf_counter() - t0, 1e-9)
+        return bw > threshold_mb_s
+    except Exception:  # pragma: no cover
+        return False
+
+
 @dataclass
 class PipelineOutput:
     video_path: str
@@ -491,12 +511,13 @@ class LipsyncPipeline:
             return resized
 
         # LATENTSYNC_RESTORE=device|native|cv2 forces a path; default:
-        # the device composite ONLY on a directly-attached TPU. On the
-        # remote-tunneled (axon) transport the device path measured
-        # 150 s for a 5 s 1080p clip (bench r03 e2e) — ~1.5 GB of frame
-        # traffic through the tunnel — while the OpenMP native path
-        # does the same work in seconds.
-        default_path = "device" if jax.default_backend() == "tpu" else "native"
+        # the device composite ONLY when the host↔device link is fast
+        # (directly-attached TPU). A tunneled transport reports platform
+        # "tpu" too, but measures ~30 MB/s (transport_probe r03) — there
+        # the ~1.5 GB of frame traffic made device restore take 150-190 s
+        # per 5 s 1080p clip vs seconds on the OpenMP native path, so the
+        # choice keys on MEASURED bandwidth, not platform name.
+        default_path = "device" if _transport_is_fast() else "native"
         prefer = os.environ.get("LATENTSYNC_RESTORE", default_path)
         if prefer == "device" and jax.default_backend() != "cpu":
             try:
