@@ -61,36 +61,12 @@ def timestep_embedding(
     return emb
 
 
-class _Int8Conv(nn.Module):
-    """Param-compatible drop-in for nn.Conv running the int8 MXU path
-    (ops/qconv.py): same {kernel, bias} tree, so checkpoints and
-    converters are unaffected. Measured 1.5-1.6× over bf16 at the
-    UNet's 3×3 shapes on v5e (micro_probe --which int8)."""
-
-    features: int
-    kernel_size: Tuple[int, int]
-    strides: Tuple[int, int]
-    padding: int
-    kernel_init: nn.initializers.Initializer = nn.initializers.lecun_normal()
-
-    @nn.compact
-    def __call__(self, x):
-        from ..ops.qconv import quantized_conv2d
-
-        kh, kw = self.kernel_size
-        kernel = self.param(
-            "kernel", self.kernel_init, (kh, kw, x.shape[-1], self.features),
-            jnp.float32,
-        )
-        bias = self.param("bias", nn.initializers.zeros, (self.features,),
-                          jnp.float32)
-        return quantized_conv2d(x, kernel, bias, self.strides, self.padding)
-
-
 class InflatedConv(nn.Module):
     """2D conv applied per-frame on (B, F, H, W, C)
     (ref:resnet.py:10-18). LATENTSYNC_INT8=1 routes through the int8
-    dynamic-quantization path (ops/qconv.py) — identical param tree."""
+    dynamic-quantization path (ops/qconv.py QConv — measured 1.5-1.6×
+    over bf16 at the UNet's 3×3 shapes on v5e); identical param tree
+    either way."""
 
     features: int
     kernel: Tuple[int, int] = (3, 3)
@@ -101,22 +77,15 @@ class InflatedConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from ..ops.qconv import int8_enabled
+        from ..ops.qconv import QConv
 
         b, f = x.shape[:2]
         x2 = x.reshape((b * f,) + x.shape[2:])
         init = nn.initializers.zeros if self.zero_init else nn.initializers.lecun_normal()
-        if int8_enabled():
-            y = _Int8Conv(
-                self.features, self.kernel, self.strides, self.padding,
-                kernel_init=init, name="conv",
-            )(x2)
-        else:
-            y = nn.Conv(
-                self.features, self.kernel, strides=self.strides,
-                padding=self.padding, dtype=self.dtype, kernel_init=init,
-                name="conv",
-            )(x2)
+        y = QConv(
+            self.features, self.kernel, self.strides, self.padding,
+            dtype=self.dtype, kernel_init=init, name="conv",
+        )(x2)
         return y.reshape((b, f) + y.shape[1:])
 
 

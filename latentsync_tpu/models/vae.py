@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from ..config import VAEConfig
 from ..ops.attention import dot_product_attention
+from ..ops.qconv import QConv
 
 
 class ResnetBlock(nn.Module):
@@ -37,10 +38,10 @@ class ResnetBlock(nn.Module):
         in_ch = x.shape[-1]
         h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=jnp.float32, name="norm1")(x)
         h = nn.silu(h).astype(self.dtype)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        h = QConv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
         h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=jnp.float32, name="norm2")(h)
         h = nn.silu(h).astype(self.dtype)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        h = QConv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if in_ch != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
         return x + h
@@ -77,7 +78,7 @@ class Downsample(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
-        return nn.Conv(
+        return QConv(
             self.out_channels, (3, 3), strides=(2, 2), padding="VALID",
             dtype=self.dtype, name="conv",
         )(x)
@@ -91,7 +92,7 @@ class Upsample(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
-        return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+        return QConv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
 
 
 class Encoder(nn.Module):
@@ -101,7 +102,7 @@ class Encoder(nn.Module):
     @nn.compact
     def __call__(self, x):
         cfg = self.config
-        h = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x)
+        h = QConv(cfg.block_out_channels[0], (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x)
         for i, ch in enumerate(cfg.block_out_channels):
             for j in range(cfg.layers_per_block):
                 h = ResnetBlock(ch, cfg.norm_num_groups, dtype=self.dtype,
@@ -114,7 +115,7 @@ class Encoder(nn.Module):
         h = ResnetBlock(ch, cfg.norm_num_groups, dtype=self.dtype, name="mid_block_2")(h)
         h = nn.GroupNorm(cfg.norm_num_groups, epsilon=1e-6, dtype=jnp.float32, name="conv_norm_out")(h)
         h = nn.silu(h).astype(self.dtype)
-        h = nn.Conv(2 * cfg.latent_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(h)
+        h = QConv(2 * cfg.latent_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(h)
         return h
 
 
@@ -126,7 +127,7 @@ class Decoder(nn.Module):
     def __call__(self, z):
         cfg = self.config
         rev = tuple(reversed(cfg.block_out_channels))
-        h = nn.Conv(rev[0], (3, 3), padding=1, dtype=self.dtype, name="conv_in")(z)
+        h = QConv(rev[0], (3, 3), padding=1, dtype=self.dtype, name="conv_in")(z)
         h = ResnetBlock(rev[0], cfg.norm_num_groups, dtype=self.dtype, name="mid_block_1")(h)
         h = AttnBlock(cfg.norm_num_groups, dtype=self.dtype, name="mid_attn")(h)
         h = ResnetBlock(rev[0], cfg.norm_num_groups, dtype=self.dtype, name="mid_block_2")(h)
@@ -138,7 +139,7 @@ class Decoder(nn.Module):
                 h = Upsample(ch, dtype=self.dtype, name=f"up_{i}_upsample")(h)
         h = nn.GroupNorm(cfg.norm_num_groups, epsilon=1e-6, dtype=jnp.float32, name="conv_norm_out")(h)
         h = nn.silu(h).astype(self.dtype)
-        return nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(h)
+        return QConv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(h)
 
 
 class AutoencoderKL(nn.Module):

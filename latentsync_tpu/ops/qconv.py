@@ -31,6 +31,7 @@ from __future__ import annotations
 import os
 from typing import Optional, Tuple
 
+import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
@@ -39,6 +40,42 @@ def int8_enabled() -> bool:
     """Checked at trace time — set LATENTSYNC_INT8 before the first
     pipeline call (compiled programs bake the choice in)."""
     return os.environ.get("LATENTSYNC_INT8") == "1"
+
+
+class QConv(nn.Module):
+    """2D conv with nn.Conv's exact param layout ({kernel, bias}) that
+    routes through the int8 MXU path under LATENTSYNC_INT8=1 and through
+    a plain float conv otherwise — checkpoints/converters see one tree.
+    Padding: int p → ((p,p),(p,p)); "SAME"/"VALID" pass through."""
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: object = "SAME"
+    dtype: jnp.dtype = jnp.float32
+    kernel_init: object = None
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            self.kernel_init or nn.initializers.lecun_normal(),
+            (kh, kw, x.shape[-1], self.features), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        if int8_enabled():
+            return quantized_conv2d(x, kernel, bias, self.strides,
+                                    self.padding)
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = [(pad, pad), (pad, pad)]
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype), self.strides,
+            pad, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + bias.astype(self.dtype)
 
 
 def quantized_conv2d(

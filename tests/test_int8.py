@@ -94,3 +94,35 @@ def test_unet_int8_path(monkeypatch):
     assert rel < 0.10, rel
     # and it actually perturbs the output (the int8 path is live)
     assert not np.allclose(got, ref)
+
+
+def test_vae_int8_path(monkeypatch):
+    """VAE convs route through QConv: identical tree, bounded error."""
+    from latentsync_tpu.config import VAEConfig
+    from latentsync_tpu.models.vae import AutoencoderKL
+    from latentsync_tpu.utils.params import fast_init
+
+    cfg = VAEConfig(block_out_channels=(8, 16), layers_per_block=1,
+                    norm_num_groups=4)
+    vae = AutoencoderKL(cfg)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 3)), jnp.float32) * 0.4
+
+    monkeypatch.delenv("LATENTSYNC_INT8", raising=False)
+    params = fast_init(
+        lambda xx: vae.init(jax.random.PRNGKey(0), xx, jax.random.PRNGKey(1)),
+        x, seed=7)
+    z_ref = vae.apply(params, x, method="encode")
+    img_ref = np.asarray(vae.apply(params, z_ref, method="decode"))
+
+    monkeypatch.setenv("LATENTSYNC_INT8", "1")
+    params8 = fast_init(
+        lambda xx: vae.init(jax.random.PRNGKey(0), xx, jax.random.PRNGKey(1)),
+        x, seed=7)
+    assert jax.tree.structure(params8) == jax.tree.structure(params)
+    z8 = vae.apply(params, x, method="encode")
+    img8 = np.asarray(vae.apply(params, z8, method="decode"))
+
+    rel = np.abs(img8 - img_ref).mean() / max(np.abs(img_ref).mean(), 1e-9)
+    assert rel < 0.15, rel
+    assert not np.allclose(img8, img_ref)
