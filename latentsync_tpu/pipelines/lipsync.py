@@ -240,13 +240,13 @@ class LipsyncPipeline:
         composite then runs in numpy — on the tunneled transport, moving
         host arrays TO the device for compositing costs far more than
         the composite saves)."""
-        self._get_decode_fn(as_uint8)
+        fn = self._get_decode_fn(as_uint8)
         n = latents.shape[0]
         size = min(_bucket(n), chunk) if n <= chunk else chunk
         pad = (-n) % size
         z = jnp.pad(latents, ((0, pad), (0, 0), (0, 0), (0, 0))) if pad else latents
         outs = [
-            self._decode_jit[key](self.vae_params, z[i : i + size])
+            fn(self.vae_params, z[i : i + size])
             for i in range(0, n + pad, size)
         ]
         return jnp.concatenate(outs, axis=0)[:n] if len(outs) > 1 else outs[0][:n]

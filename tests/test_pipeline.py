@@ -218,3 +218,14 @@ def test_run_pipelined_multi_clip(tiny_pipeline, tmp_path, rng):
     b = read_video(serial_out, change_fps=False)
     assert a.shape == b.shape
     assert np.mean(np.abs(a.astype(np.int16) - b.astype(np.int16))) < 1.5
+
+
+def test_vae_decode_direct(tiny_pipeline):
+    """_vae_decode (the bench's decode entry) both float and uint8."""
+    import jax.numpy as jnp
+
+    lat = jnp.zeros((3, 4, 4, 4), jnp.float32)
+    out = tiny_pipeline._vae_decode(lat)
+    assert out.shape == (3, 8, 8, 3)
+    out8 = tiny_pipeline._vae_decode(lat, as_uint8=True)
+    assert out8.shape == (3, 8, 8, 3) and out8.dtype == jnp.uint8
