@@ -219,11 +219,13 @@ class CrossAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, context=None):
+        from ..ops.qconv import QDense
+
         inner = self.heads * self.dim_head
         context = x if context is None else context
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+        q = QDense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = QDense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
+        v = QDense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
         b, sq, _ = q.shape
         if self.temporal and context is x:
             from ..ops.temporal_attention import temporal_attention
@@ -239,7 +241,7 @@ class CrossAttention(nn.Module):
             k = k.reshape(b, sk, self.heads, self.dim_head)
             v = v.reshape(b, sk, self.heads, self.dim_head)
             o = dot_product_attention(q, k, v).reshape(b, sq, inner)
-        return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out_0")(o)
+        return QDense(self.query_dim, dtype=self.dtype, name="to_out_0")(o)
 
 
 class GEGLUFeedForward(nn.Module):

@@ -78,6 +78,54 @@ class QConv(nn.Module):
         return y + bias.astype(self.dtype)
 
 
+def int8_dense_enabled() -> bool:
+    """Separate gate for the int8 attention-projection matmuls: the
+    probe showed square (C→C) projections win ~13% with dynamic int8
+    (131072×320×320: 0.77 → 0.67 ms) while the wide GEGLU shapes lose —
+    so only attention q/k/v/out and the temporal proj route here, and
+    only under LATENTSYNC_INT8_DENSE=1 (A/B-able independently)."""
+    return os.environ.get("LATENTSYNC_INT8_DENSE") == "1"
+
+
+class QDense(nn.Module):
+    """nn.Dense-compatible ({kernel[, bias]}) projection that runs the
+    int8 MXU path under LATENTSYNC_INT8_DENSE=1: per-row (token)
+    activation scales × per-output-channel weight scales, int32
+    accumulation, dequant fused into the epilogue."""
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (cin, self.features), jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,),
+                           jnp.float32) if self.use_bias else None)
+        if not int8_dense_enabled():
+            y = x.astype(self.dtype) @ kernel.astype(self.dtype)
+            return y + bias.astype(self.dtype) if bias is not None else y
+        f32 = jnp.float32
+        w = kernel.astype(f32)
+        wmax = jnp.max(jnp.abs(w), axis=0, keepdims=True)  # (1, out)
+        wscale = jnp.maximum(wmax, 1e-8) / 127.0
+        wq = jnp.round(w / wscale).astype(jnp.int8)
+        shape = x.shape
+        xf = x.astype(f32).reshape(-1, cin)
+        amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+        ascale = jnp.maximum(amax, 1e-8) / 127.0
+        xq = jnp.clip(jnp.round(xf / ascale), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            xq, wq, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        out = acc.astype(f32) * (wscale * ascale)
+        if bias is not None:
+            out = out + bias.astype(f32)
+        return out.astype(self.dtype).reshape(shape[:-1] + (self.features,))
+
+
 def quantized_conv2d(
     x: jnp.ndarray,
     kernel: jnp.ndarray,

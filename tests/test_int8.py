@@ -126,3 +126,55 @@ def test_vae_int8_path(monkeypatch):
     rel = np.abs(img8 - img_ref).mean() / max(np.abs(img_ref).mean(), 1e-9)
     assert rel < 0.15, rel
     assert not np.allclose(img8, img_ref)
+
+
+def test_qdense_int8_close(monkeypatch):
+    from latentsync_tpu.ops.qconv import QDense
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((3, 7, 32)), jnp.float32)
+    m = QDense(16)
+    monkeypatch.delenv("LATENTSYNC_INT8_DENSE", raising=False)
+    params = m.init(jax.random.PRNGKey(0), x)
+    ref = np.asarray(m.apply(params, x))
+    monkeypatch.setenv("LATENTSYNC_INT8_DENSE", "1")
+    got = np.asarray(m.apply(params, x))
+    assert got.shape == ref.shape
+    rel = np.abs(got - ref).mean() / max(np.abs(ref).mean(), 1e-9)
+    assert 0 < rel < 0.02, rel
+
+
+def test_unet_int8_dense_path(monkeypatch):
+    """Both int8 gates on: tree unchanged, output within a few percent."""
+    from latentsync_tpu.config import MotionModuleConfig, UNet3DConfig
+    from latentsync_tpu.models.unet3d import UNet3DConditionModel
+    from latentsync_tpu.utils.params import fast_init
+
+    cfg = UNet3DConfig(
+        block_out_channels=(32, 64, 64, 64), layers_per_block=1,
+        norm_num_groups=8, cross_attention_dim=16, attention_head_dim=4,
+        motion_module=MotionModuleConfig(num_attention_heads=4,
+                                         num_transformer_block=1),
+    )
+    model = UNet3DConditionModel(cfg)
+    rng = np.random.default_rng(5)
+    sample = jnp.asarray(rng.standard_normal((1, 4, 8, 8, 13)), jnp.float32) * 0.3
+    audio = jnp.asarray(rng.standard_normal((1, 4, 10, 16)), jnp.float32) * 0.3
+    t = jnp.asarray([500])
+
+    monkeypatch.delenv("LATENTSYNC_INT8", raising=False)
+    monkeypatch.delenv("LATENTSYNC_INT8_DENSE", raising=False)
+    params = fast_init(
+        lambda s, tt, a: model.init(jax.random.PRNGKey(0), s, tt, a),
+        sample, t, audio, seed=6)
+    ref = np.asarray(model.apply(params, sample, t, audio))
+
+    monkeypatch.setenv("LATENTSYNC_INT8", "1")
+    monkeypatch.setenv("LATENTSYNC_INT8_DENSE", "1")
+    params8 = fast_init(
+        lambda s, tt, a: model.init(jax.random.PRNGKey(0), s, tt, a),
+        sample, t, audio, seed=6)
+    assert jax.tree.structure(params8) == jax.tree.structure(params)
+    got = np.asarray(model.apply(params, sample, t, audio))
+    rel = np.abs(got - ref).mean() / max(np.abs(ref).mean(), 1e-9)
+    assert rel < 0.12, rel
