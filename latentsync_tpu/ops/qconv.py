@@ -28,6 +28,7 @@ vs the bf16 run (docs/perf_audit.md "int8 numerics").
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Optional, Tuple
 
@@ -107,23 +108,49 @@ class QDense(nn.Module):
         if not int8_dense_enabled():
             y = x.astype(self.dtype) @ kernel.astype(self.dtype)
             return y + bias.astype(self.dtype) if bias is not None else y
-        f32 = jnp.float32
-        w = kernel.astype(f32)
-        wmax = jnp.max(jnp.abs(w), axis=0, keepdims=True)  # (1, out)
-        wscale = jnp.maximum(wmax, 1e-8) / 127.0
-        wq = jnp.round(w / wscale).astype(jnp.int8)
         shape = x.shape
-        xf = x.astype(f32).reshape(-1, cin)
-        amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-        ascale = jnp.maximum(amax, 1e-8) / 127.0
-        xq = jnp.clip(jnp.round(xf / ascale), -127, 127).astype(jnp.int8)
-        acc = jax.lax.dot_general(
-            xq, wq, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
-        out = acc.astype(f32) * (wscale * ascale)
-        if bias is not None:
-            out = out + bias.astype(f32)
+        out = _qdense_ste(x.reshape(-1, cin), kernel, bias)
         return out.astype(self.dtype).reshape(shape[:-1] + (self.features,))
+
+
+@jax.custom_vjp
+def _qdense_ste(x, kernel, bias):
+    """Int8 dense forward; straight-through float-matmul backward."""
+    f32 = jnp.float32
+    w = kernel.astype(f32)
+    wmax = jnp.max(jnp.abs(w), axis=0, keepdims=True)  # (1, out)
+    wscale = jnp.maximum(wmax, 1e-8) / 127.0
+    wq = jnp.round(w / wscale).astype(jnp.int8)
+    xf = x.astype(f32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    ascale = jnp.maximum(amax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(xf / ascale), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, wq, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+    out = acc.astype(f32) * (wscale * ascale)
+    if bias is not None:
+        out = out + bias.astype(f32)
+    return out.astype(x.dtype)
+
+
+def _qdense_ste_fwd(x, kernel, bias):
+    return _qdense_ste(x, kernel, bias), (x, kernel, bias)
+
+
+def _qdense_ste_bwd(res, g):
+    x, kernel, bias = res
+
+    def float_dense(a, k, b):
+        y = a.astype(jnp.float32) @ k.astype(jnp.float32)
+        if b is not None:
+            y = y + b.astype(jnp.float32)
+        return y.astype(a.dtype)
+
+    _, vjp = jax.vjp(float_dense, x, kernel, bias)
+    return vjp(g)
+
+
+_qdense_ste.defvjp(_qdense_ste_fwd, _qdense_ste_bwd)
 
 
 def quantized_conv2d(
@@ -138,7 +165,28 @@ def quantized_conv2d(
     x: (B, H, W, Cin) float; kernel: (kh, kw, Cin, Cout) float.
     Returns x.dtype. Out-channel weight scales × per-sample activation
     scales make the dequant exact per (sample, channel) pair.
-    """
+
+    Differentiable via a straight-through estimator: the backward pass
+    is the float conv's gradient (round() alone has zero gradient, which
+    would silently kill training if the int8 flag is on)."""
+    if isinstance(padding, int):
+        padding = ((padding, padding), (padding, padding))
+    elif isinstance(padding, (list, tuple)) and padding and not isinstance(padding, str):
+        padding = tuple(tuple(p) for p in padding)
+    return _qconv2d_ste(x, kernel, bias, tuple(strides), padding)
+
+
+def _float_conv(x, kernel, bias, strides, padding):
+    y = jax.lax.conv_general_dilated(
+        x.astype(jnp.float32), kernel.astype(jnp.float32), strides, padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _qconv2d_ste(x, kernel, bias, strides, padding):
     f32 = jnp.float32
     w = kernel.astype(f32)
     wmax = jnp.max(jnp.abs(w), axis=(0, 1, 2), keepdims=True)  # (1,1,1,O)
@@ -150,8 +198,6 @@ def quantized_conv2d(
     ascale = jnp.maximum(amax, 1e-8) / 127.0
     xq = jnp.clip(jnp.round(xf / ascale), -127, 127).astype(jnp.int8)
 
-    if isinstance(padding, int):
-        padding = [(padding, padding), (padding, padding)]
     acc = jax.lax.conv_general_dilated(
         xq, wq, strides, padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -161,3 +207,17 @@ def quantized_conv2d(
     if bias is not None:
         out = out + bias.astype(f32)
     return out.astype(x.dtype)
+
+
+def _qconv2d_ste_fwd(x, kernel, bias, strides, padding):
+    return _qconv2d_ste(x, kernel, bias, strides, padding), (x, kernel, bias)
+
+
+def _qconv2d_ste_bwd(strides, padding, res, g):
+    x, kernel, bias = res
+    _, vjp = jax.vjp(
+        lambda a, k, b: _float_conv(a, k, b, strides, padding), x, kernel, bias)
+    return vjp(g)
+
+
+_qconv2d_ste.defvjp(_qconv2d_ste_fwd, _qconv2d_ste_bwd)

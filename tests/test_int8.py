@@ -178,3 +178,44 @@ def test_unet_int8_dense_path(monkeypatch):
     got = np.asarray(model.apply(params, sample, t, audio))
     rel = np.abs(got - ref).mean() / max(np.abs(ref).mean(), 1e-9)
     assert rel < 0.12, rel
+
+
+def test_int8_paths_have_straight_through_gradients(monkeypatch):
+    """Training with the int8 flags on must produce float-path gradients
+    (round() alone would zero them)."""
+    from latentsync_tpu.ops.qconv import QConv, QDense
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 4)), jnp.float32)
+    conv = QConv(6, (3, 3), padding=1)
+    monkeypatch.delenv("LATENTSYNC_INT8", raising=False)
+    params = conv.init(jax.random.PRNGKey(0), x)
+
+    def loss_float(p):
+        return jnp.sum(conv.apply(p, x) ** 2)
+
+    g_float = jax.grad(loss_float)(params)
+    monkeypatch.setenv("LATENTSYNC_INT8", "1")
+    g_int8 = jax.grad(loss_float)(params)
+    for a, b in zip(jax.tree.leaves(g_int8), jax.tree.leaves(g_float)):
+        assert np.abs(np.asarray(a)).max() > 0
+        # STE backward ~ float backward; the cotangent carries the
+        # forward's quantization error, so compare loosely
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0.6, atol=0.6)
+
+    xd = jnp.asarray(rng.standard_normal((5, 16)), jnp.float32)
+    dense = QDense(8)
+    monkeypatch.delenv("LATENTSYNC_INT8_DENSE", raising=False)
+    dparams = dense.init(jax.random.PRNGKey(1), xd)
+
+    def dloss(p):
+        return jnp.sum(dense.apply(p, xd) ** 2)
+
+    gd_float = jax.grad(dloss)(dparams)
+    monkeypatch.setenv("LATENTSYNC_INT8_DENSE", "1")
+    gd_int8 = jax.grad(dloss)(dparams)
+    for a, b in zip(jax.tree.leaves(gd_int8), jax.tree.leaves(gd_float)):
+        assert np.abs(np.asarray(a)).max() > 0
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0.6, atol=0.6)
