@@ -43,7 +43,7 @@ def main():
     guidance = cfg.run.guidance_scale  # 1.5
 
     # windows per denoise call — the serving batch size
-    W = int(os.environ.get("BENCH_WINDOWS", "4"))
+    W = int(os.environ.get("BENCH_WINDOWS", "2"))
     n_rounds = int(os.environ.get("BENCH_ROUNDS", "3"))
 
     unet = UNet3DConditionModel(cfg.unet, dtype=dtype)

@@ -461,7 +461,7 @@ class LipsyncPipeline:
         state: JobState,
         num_inference_steps: int = 20,
         guidance_scale: float = 1.5,
-        window_batch: int = 4,
+        window_batch: int = 2,
     ) -> jnp.ndarray:
         """Stage 5: bucketed window-batched denoise → (W, F, h, w, 4)."""
         t0 = time.time()
@@ -625,7 +625,7 @@ class LipsyncPipeline:
         num_frames: int = 16,
         num_inference_steps: int = 20,
         guidance_scale: float = 1.5,
-        window_batch: int = 4,
+        window_batch: int = 2,
         **prepare_kw,
     ):
         """Overlapped multi-clip execution (SURVEY §7 pipelining note /
@@ -690,7 +690,7 @@ class LipsyncPipeline:
         seed: int = 1247,
         mask_image_path: Optional[str] = None,
         data_path: Optional[str] = None,
-        window_batch: int = 4,
+        window_batch: int = 2,
         height: Optional[int] = None,
     ) -> PipelineOutput:
         state = self.prepare(

@@ -29,7 +29,7 @@ from .artifacts import AvatarStore
 class ServingState:
     def __init__(self, pipeline, avatar_store: AvatarStore, out_dir: str,
                  max_queue: int = 10, continuous_batching: bool = False,
-                 batch_windows: int = 4, num_workers: int = 2):
+                 batch_windows: int = 2, num_workers: int = 2):
         self.pipeline = pipeline
         self.avatars = avatar_store
         self.out_dir = out_dir

@@ -40,7 +40,7 @@ class WindowBatcher:
     """
 
     def __init__(self, batch_fn: Callable[[Dict[str, np.ndarray]], np.ndarray],
-                 max_windows: int = 4, max_wait_ms: float = 5.0):
+                 max_windows: int = 2, max_wait_ms: float = 5.0):
         self.batch_fn = batch_fn
         self.max_windows = max_windows
         self.max_wait = max_wait_ms / 1000.0

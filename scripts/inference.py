@@ -118,7 +118,7 @@ def main():
     p.add_argument("--seed", type=int, default=1247)
     p.add_argument("--resolution", type=int, default=0)
     p.add_argument("--data-path", default=None, help="precomputed affine bundle (.npz)")
-    p.add_argument("--window-batch", type=int, default=4)
+    p.add_argument("--window-batch", type=int, default=2)
     args = p.parse_args()
 
     pipe = build_pipeline(args)
