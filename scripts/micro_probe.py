@@ -267,6 +267,116 @@ def main():
                 xf, fl, iters=args.iters,
             )
 
+    if which in ("all", "int8"):
+        # Is int8 MXU throughput real on this part, and does it survive
+        # the dynamic-quantization overhead? (v5e peak: 394 int8 TOPS vs
+        # 197 bf16 TFLOPS.) Shapes = the three FLOP-carrying families.
+        def q_rowwise(x):
+            amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+            s = 127.0 / jnp.maximum(amax, 1e-6)
+            return jnp.clip(jnp.round(x.astype(jnp.float32) * s), -127, 127).astype(jnp.int8), s
+
+        def fit(out, cin):
+            """Chained bench steps must return the input's shape."""
+            cout = out.shape[-1]
+            if cout >= cin:
+                return out[:, :cin]
+            return jnp.tile(out, (1, cin // cout + 1))[:, :cin]
+
+        # (rows, cin, cout): FF in/out + qkv proj at res 32/16
+        mm_shapes = (
+            (bf * 1024, 320, 2560), (bf * 1024, 1280, 320),
+            (bf * 256, 640, 5120), (bf * 1024, 320, 320),
+        )
+        for rows, cin, cout in mm_shapes:
+            x = jnp.asarray(rng.standard_normal((rows, cin)), dt)
+            w = jnp.asarray(rng.standard_normal((cin, cout)) * 0.02, dt)
+            wq, wsc = q_rowwise(w.T)  # per-output-channel scales
+            wq = wq.T
+            wsc = (1.0 / wsc.T).astype(jnp.float32)  # (1, cout) dequant mult
+            fl = 2 * rows * cin * cout
+
+            def mm_bf16(y, w=w, cin=cin):
+                return fit(jax.lax.dot_general(
+                    y, w, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(dt), cin)
+
+            bench_loop(f"mm_bf16_{rows}x{cin}x{cout}", mm_bf16, x, fl,
+                       iters=args.iters)
+
+            def mm_int8_static(y, wq=wq, wsc=wsc, cin=cin):
+                # pre-quantized activations: pure int8 MXU speed
+                yq = y.astype(jnp.int8)
+                acc = jax.lax.dot_general(
+                    yq, wq, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                return fit((acc.astype(jnp.float32) * wsc).astype(dt), cin)
+
+            bench_loop(f"mm_int8_static_{rows}x{cin}x{cout}", mm_int8_static,
+                       x, fl, iters=args.iters)
+
+            def mm_int8_dyn(y, wq=wq, wsc=wsc, cin=cin):
+                # full dynamic path: rowwise act quant + int8 MXU + dequant
+                yq, ysc = q_rowwise(y)
+                acc = jax.lax.dot_general(
+                    yq, wq, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                out = acc.astype(jnp.float32) * (wsc / ysc)
+                return fit(out.astype(dt), cin)
+
+            bench_loop(f"mm_int8_dyn_{rows}x{cin}x{cout}", mm_int8_dyn,
+                       x, fl, iters=args.iters)
+
+        # conv3×3 int8 — direct lax conv with int8 operands
+        for hw, c in ((32, 320), (16, 640), (8, 1280)):
+            x = jnp.asarray(rng.standard_normal((bf, hw, hw, c)), dt)
+            k3 = jnp.asarray(rng.standard_normal((3, 3, c, c)) * 0.02, dt)
+            kq = jnp.clip(jnp.round(k3 * 50), -127, 127).astype(jnp.int8)
+            fl = 2 * bf * hw * hw * 9 * c * c
+
+            def conv_bf16(y, k=k3):
+                return jax.lax.conv_general_dilated(
+                    y, k, (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.float32).astype(dt)
+
+            bench_loop(f"conv3x3_bf16_{hw}_{c}", conv_bf16, x, fl,
+                       iters=args.iters)
+
+            def conv_int8(y, k=kq):
+                yq = y.astype(jnp.int8)
+                acc = jax.lax.conv_general_dilated(
+                    yq, k, (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.int32)
+                return (acc.astype(jnp.float32) * 2e-4).astype(dt)
+
+            try:
+                bench_loop(f"conv3x3_int8_{hw}_{c}", conv_int8, x, fl,
+                           iters=args.iters)
+            except Exception as e:  # int8 conv may not lower on TPU
+                print(json.dumps({"name": f"conv3x3_int8_{hw}_{c}",
+                                  "error": str(e)[:200]}), flush=True)
+
+            def conv_int8_dyn(y, k=kq):
+                amax = jnp.max(jnp.abs(y.astype(jnp.float32)), axis=(1, 2, 3),
+                               keepdims=True)
+                s = 127.0 / jnp.maximum(amax, 1e-6)
+                yq = jnp.clip(jnp.round(y.astype(jnp.float32) * s),
+                              -127, 127).astype(jnp.int8)
+                acc = jax.lax.conv_general_dilated(
+                    yq, k, (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.int32)
+                return (acc.astype(jnp.float32) * (2e-4 / s)).astype(dt)
+
+            try:
+                bench_loop(f"conv3x3_int8_dyn_{hw}_{c}", conv_int8_dyn, x, fl,
+                           iters=args.iters)
+            except Exception as e:
+                print(json.dumps({"name": f"conv3x3_int8_dyn_{hw}_{c}",
+                                  "error": str(e)[:200]}), flush=True)
+
     if which in ("all", "unet", "ablate"):
         import dataclasses
 
