@@ -229,3 +229,12 @@ def test_vae_decode_direct(tiny_pipeline):
     assert out.shape == (3, 8, 8, 3)
     out8 = tiny_pipeline._vae_decode(lat, as_uint8=True)
     assert out8.shape == (3, 8, 8, 3) and out8.dtype == jnp.uint8
+
+
+def test_run_pipelined_propagates_errors(tiny_pipeline, tmp_path):
+    with pytest.raises(Exception):
+        tiny_pipeline.run_pipelined(
+            [("/nonexistent/v.mp4", "/nonexistent/a.wav",
+              str(tmp_path / "o.mp4"))],
+            num_frames=4,
+        )
