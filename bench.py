@@ -135,20 +135,41 @@ def main():
             wav5 = "/tmp/bench_clip5.wav"
             write_audio(wav5, read_audio(demo_audio, 16000)[: 5 * 16000], 16000)
 
+            # each run is time-bounded: the tunneled transport sometimes
+            # stalls on a fetch for tens of minutes (observed r03), and a
+            # wedged e2e must not take the whole bench down with it
+            import threading
+
+            budget_s = float(os.environ.get("BENCH_E2E_RUN_TIMEOUT", "600"))
             runs = []
             elapsed = {}
+            timed_out = False
             for i in range(3):
-                t0 = time.perf_counter()
-                out = pipe(clip5, wav5, f"/tmp/bench_out5_{i}.mp4",
-                           num_inference_steps=steps,
-                           guidance_scale=guidance, window_batch=W)
-                runs.append(time.perf_counter() - t0)
-                elapsed = out.elapsed
+                result = {}
+
+                def one_run(i=i, result=result):
+                    t0 = time.perf_counter()
+                    out = pipe(clip5, wav5, f"/tmp/bench_out5_{i}.mp4",
+                               num_inference_steps=steps,
+                               guidance_scale=guidance, window_batch=W)
+                    result["t"] = time.perf_counter() - t0
+                    result["elapsed"] = out.elapsed
+
+                th = threading.Thread(target=one_run, daemon=True)
+                th.start()
+                th.join(budget_s if i else budget_s * 4)  # run 0 compiles
+                if "t" not in result:
+                    timed_out = True
+                    break
+                runs.append(result["t"])
+                elapsed = result["elapsed"]
             runs.sort()
             e2e = {
-                "p50_latency_5s_clip_s": round(runs[len(runs) // 2], 3),
+                **({"p50_latency_5s_clip_s": round(runs[len(runs) // 2], 3)}
+                   if runs else {}),
                 "e2e_runs_s": [round(t, 3) for t in runs],
                 "e2e_stage_s": {k: round(v, 3) for k, v in elapsed.items()},
+                **({"e2e_timeout": True} if timed_out else {}),
             }
         except Exception as exc:  # noqa: BLE001 — e2e is additive detail
             e2e = {"e2e_error": f"{type(exc).__name__}: {exc}"}
