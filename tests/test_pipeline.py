@@ -238,3 +238,44 @@ def test_run_pipelined_propagates_errors(tiny_pipeline, tmp_path):
               str(tmp_path / "o.mp4"))],
             num_frames=4,
         )
+
+
+def test_avatar_latent_cache_matches_request_time_encode(
+        tiny_pipeline, tmp_path, rng):
+    """precompute_avatar_latents → prepare(data_path=...) skips the VAE
+    encode and produces the same output video as the uncached path."""
+    import cv2
+
+    from latentsync_tpu.serving.artifacts import generate_affine_bundle
+    from latentsync_tpu.utils.image_processor import ImageProcessor
+    from latentsync_tpu.utils.media import read_video, write_audio
+
+    video_path = str(tmp_path / "avatar.mp4")
+    frames = (rng.random((20, 64, 64, 3)) * 200 + 30).astype(np.uint8)
+    w = cv2.VideoWriter(video_path, cv2.VideoWriter_fourcc(*"mp4v"), 25,
+                        (64, 64))
+    for fr in frames:
+        w.write(cv2.cvtColor(fr, cv2.COLOR_RGB2BGR))
+    w.release()
+    audio_path = str(tmp_path / "req.wav")
+    write_audio(audio_path,
+                (rng.standard_normal(12800) * 0.05).astype(np.float32))
+
+    proc = ImageProcessor(32)
+    bundle = generate_affine_bundle(proc, video_path,
+                                    str(tmp_path / "avatar.npz"))
+    out_nocache = str(tmp_path / "out_nocache.mp4")
+    tiny_pipeline(video_path, audio_path, out_nocache, num_frames=4,
+                  data_path=bundle)
+
+    lat_path = tiny_pipeline.precompute_avatar_latents(bundle)
+    assert os.path.isfile(lat_path)
+    out_cached = str(tmp_path / "out_cached.mp4")
+    state = tiny_pipeline.prepare(video_path, audio_path, num_frames=4,
+                                  data_path=bundle)
+    lat = tiny_pipeline.denoise_all(state, num_inference_steps=2)
+    tiny_pipeline.finish(state, lat, out_cached)
+
+    a = read_video(out_nocache, change_fps=False)
+    b = read_video(out_cached, change_fps=False)
+    assert a.shape == b.shape
