@@ -587,7 +587,22 @@ class UNet3DConditionModel(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, sample, timesteps, encoder_hidden_states=None):
+    def __call__(self, sample, timesteps, encoder_hidden_states=None,
+                 deep_cache=None, cache_depth: int = 0,
+                 cache_read: bool = False):
+        """`cache_depth`/`cache_read` implement DeepCache-style step
+        caching over the DDIM trajectory (SyncCache / DeepCache family;
+        PAPERS.md): with `cache_depth=d > 0` the call returns
+        `(eps, cache)` where `cache` is the feature entering up block
+        `nb-d` (the output of up block `nb-1-d`). A cache-read call
+        (`cache_read=True`, `deep_cache=<that feature>`) executes ONLY
+        the shallow slice — conv_in, down blocks `0..d-1`, up blocks
+        `nb-d..nb-1`, conv_out — and splices the cached deep feature in
+        place of the skipped deep trunk; unused deep-path outputs
+        (e.g. the last shallow downsampler) are dead-code-eliminated by
+        XLA. Numerics are exact on write steps and approximate on read
+        steps; the fidelity gate is statistical (BASELINE.md), and the
+        technique is off unless the caller opts in."""
         cfg = self.config
         if jnp.ndim(timesteps) == 0:
             timesteps = jnp.full((sample.shape[0],), timesteps)
@@ -608,11 +623,17 @@ class UNet3DConditionModel(nn.Module):
             cfg.block_out_channels[0], dtype=self.dtype, zero_init=True, name="conv_in"
         )(sample)
 
+        nb = len(cfg.block_out_channels)
+        shallow_only = bool(cache_depth) and cache_read
+        n_down = cache_depth if shallow_only else nb
+
         # down
         skips = [x]
         for i, block_type in enumerate(cfg.down_block_types):
+            if i >= n_down:
+                break
             res = 2 ** i
-            is_final = i == len(cfg.block_out_channels) - 1
+            is_final = i == nb - 1
             use_mm = (
                 cfg.use_motion_module
                 and res in cfg.motion_module_resolutions
@@ -630,19 +651,30 @@ class UNet3DConditionModel(nn.Module):
             )(x, emb, encoder_hidden_states)
             skips.extend(outs)
 
-        # mid
-        x = MidBlock3D(
-            cfg,
-            use_motion_module=cfg.use_motion_module and cfg.motion_module_mid_block,
-            dtype=self.dtype,
-            name="mid_block",
-        )(x, emb, encoder_hidden_states)
+        if shallow_only:
+            # the last shallow block's downsampler output feeds only the
+            # skipped deep trunk (its skip belongs to up block nb-1-d)
+            skips.pop()
+            x = deep_cache.astype(self.dtype)
+        else:
+            # mid
+            x = MidBlock3D(
+                cfg,
+                use_motion_module=cfg.use_motion_module and cfg.motion_module_mid_block,
+                dtype=self.dtype,
+                name="mid_block",
+            )(x, emb, encoder_hidden_states)
 
         # up
+        cache_out = deep_cache
         rev_channels = list(reversed(cfg.block_out_channels))
         for i, block_type in enumerate(cfg.up_block_types):
+            if shallow_only and i < nb - cache_depth:
+                continue
+            if cache_depth and not cache_read and i == nb - cache_depth:
+                cache_out = x
             res = 2 ** (3 - i)
-            is_final = i == len(cfg.block_out_channels) - 1
+            is_final = i == nb - 1
             use_mm = cfg.use_motion_module and res in cfg.motion_module_resolutions
             n_layers = cfg.layers_per_block + 1
             block_skips = skips[-n_layers:]
@@ -665,6 +697,8 @@ class UNet3DConditionModel(nn.Module):
         x = InflatedConv(
             cfg.out_channels, dtype=self.dtype, zero_init=True, name="conv_out"
         )(x)
+        if cache_depth:
+            return x, cache_out
         return x
 
 

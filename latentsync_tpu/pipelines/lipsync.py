@@ -268,8 +268,42 @@ class LipsyncPipeline:
             pieces.append((sl, fn(self.vae_params, z[i : i + size])))
         return pieces
 
+    @staticmethod
+    def _flop_cut_knobs(num_steps: int) -> Tuple[int, int, int, int]:
+        """Parse the two statistically-gated FLOP-cut env knobs
+        (docs/perf_audit.md "round-3 FLOP cuts"; fidelity gate is
+        SyncNet confidence within 2% — BASELINE.md — not bitwise).
+
+        LATENTSYNC_DEEPCACHE="I" or "I:d": DeepCache-style step caching
+          — UNet runs the full trunk every I-th DDIM step and replays
+          the cached deep feature (depth d shallow blocks executed) on
+          the others. Off when unset/empty/"0".
+        LATENTSYNC_CFG_INTERVAL="lo:hi" (fractions of the trajectory):
+          the unconditional CFG branch runs only for steps
+          lo·N ≤ j < hi·N; outside the interval the UNet runs
+          conditional-only at half batch (guidance-interval result of
+          Kynkäänniemi et al. 2024). Off when unset/empty.
+        Returns (dc_interval, dc_depth, cfg_lo, cfg_hi)."""
+        dc = os.environ.get("LATENTSYNC_DEEPCACHE", "")
+        dc_interval, dc_depth = 0, 0
+        if dc and dc != "0":
+            parts = dc.split(":")
+            dc_interval = int(parts[0])
+            dc_depth = int(parts[1]) if len(parts) > 1 else 1
+            if dc_interval <= 1:
+                dc_interval, dc_depth = 0, 0
+        ci = os.environ.get("LATENTSYNC_CFG_INTERVAL", "")
+        cfg_lo, cfg_hi = 0, num_steps
+        if ci:
+            lo_s, hi_s = ci.split(":")
+            cfg_lo = int(round(float(lo_s) * num_steps))
+            cfg_hi = int(round(float(hi_s) * num_steps))
+        return dc_interval, dc_depth, cfg_lo, cfg_hi
+
     def _denoise_fn(self, num_steps: int, guidance: float, do_cfg: bool):
-        key = (num_steps, float(guidance), do_cfg)
+        dc_interval, dc_depth, cfg_lo, cfg_hi = self._flop_cut_knobs(num_steps)
+        key = (num_steps, float(guidance), do_cfg,
+               dc_interval, dc_depth, cfg_lo, cfg_hi)
         if key in self._denoise_jit:
             return self._denoise_jit[key]
 
@@ -278,6 +312,8 @@ class LipsyncPipeline:
         at_d = jnp.asarray(alpha_t)
         ap_d = jnp.asarray(alpha_prev)
         unet = self.unet
+        # does the CFG-interval knob actually split the trajectory?
+        cfg_varies = do_cfg and (cfg_lo > 0 or cfg_hi < num_steps)
 
         @jax.jit
         def denoise(params, latents0, mask_l, masked_l, ref_l, audio):
@@ -287,24 +323,106 @@ class LipsyncPipeline:
             cond = jnp.concatenate([mask_l, masked_l, ref_l], axis=-1)
             if do_cfg:
                 cond2 = jnp.concatenate([cond, cond], axis=0)
+                # uncond first half, cond second (eps split below)
                 audio2 = jnp.concatenate([jnp.zeros_like(audio), audio], axis=0)
             else:
                 cond2, audio2 = cond, audio
+            cond = cond.astype(self.dtype)
+            audio = audio.astype(self.dtype)
             cond2 = cond2.astype(self.dtype)
             audio2 = audio2.astype(self.dtype)
 
-            def body(j, latents):
-                t = steps_d[j]
-                lat_in = jnp.concatenate([latents, latents], axis=0) if do_cfg else latents
-                unet_in = jnp.concatenate([lat_in.astype(self.dtype), cond2], axis=-1)
+            def unet_call(lat, cond_c, audio_c, t, cache_c, read):
+                unet_in = jnp.concatenate([lat.astype(self.dtype), cond_c], axis=-1)
                 tvec = jnp.full((unet_in.shape[0],), t)
-                eps = unet.apply(params, unet_in, tvec, audio2).astype(jnp.float32)
-                if do_cfg:
-                    eps_u, eps_a = eps[:w], eps[w:]
-                    eps = eps_u + guidance * (eps_a - eps_u)
-                return DDIMScheduler.step(eps, latents, at_d[j], ap_d[j])
+                if dc_interval:
+                    eps, new_cache = unet.apply(
+                        params, unet_in, tvec, audio_c,
+                        deep_cache=cache_c, cache_depth=dc_depth,
+                        cache_read=read)
+                    return eps.astype(jnp.float32), new_cache
+                eps = unet.apply(params, unet_in, tvec, audio_c)
+                return eps.astype(jnp.float32), cache_c
 
-            return jax.lax.fori_loop(0, num_steps, body, latents0.astype(jnp.float32))
+            if dc_interval:
+                # concrete zero-filled carry for the deep-feature cache;
+                # step 0 is always a write step, so it is never consumed
+                bsz = 2 * w if do_cfg else w
+                f, hh, ww = latents0.shape[1:4]
+                in_ch = 4 + cond.shape[-1]
+                in_sd = jax.ShapeDtypeStruct((bsz, f, hh, ww, in_ch), self.dtype)
+                t_sd = jax.ShapeDtypeStruct((bsz,), steps_d.dtype)
+                a_sd = jax.ShapeDtypeStruct(
+                    (bsz,) + (audio2.shape[1:] if do_cfg else audio.shape[1:]),
+                    self.dtype)
+                _, cache_sd = jax.eval_shape(
+                    lambda p, a, tv, au: unet.apply(
+                        p, a, tv, au, deep_cache=None,
+                        cache_depth=dc_depth, cache_read=False),
+                    params, in_sd, t_sd, a_sd)
+                cache0 = jnp.zeros(cache_sd.shape, cache_sd.dtype)
+            else:
+                cache0 = jnp.zeros((), jnp.float32)
+
+            def cfg_step(latents, t, cache, read):
+                lat2 = jnp.concatenate([latents, latents], axis=0)
+                eps, nc = unet_call(lat2, cond2, audio2, t, cache, read)
+                eps_u, eps_a = eps[:w], eps[w:]
+                return eps_u + guidance * (eps_a - eps_u), nc
+
+            def plain_step(latents, t, cache, read):
+                # conditional-only half-batch step (CFG interval off at
+                # this j). With CFG elsewhere in the trajectory the
+                # cache is batched 2w — use/update its cond half only.
+                half = cache[w:] if (dc_interval and do_cfg) else cache
+                eps, nc = unet_call(latents, cond, audio, t, half, read)
+                if dc_interval and do_cfg:
+                    nc = cache if read else jax.lax.dynamic_update_slice_in_dim(
+                        cache, nc, w, axis=0)
+                return eps, nc
+
+            def body(j, carry):
+                latents, cache = carry
+                t = steps_d[j]
+                if dc_interval:
+                    read = (j % dc_interval) != 0
+                    if cfg_varies and cfg_lo > 0:
+                        # plain steps before the CFG interval refresh only
+                        # the cond half of the cache, so force a write at
+                        # the interval entry — otherwise the first CFG
+                        # read step would replay a stale/zero uncond half
+                        read = jnp.logical_and(read, j != cfg_lo)
+                    if cfg_varies:
+                        use_cfg = jnp.logical_and(j >= cfg_lo, j < cfg_hi)
+                        eps, cache = jax.lax.cond(
+                            use_cfg,
+                            lambda r: jax.lax.cond(
+                                r, lambda: cfg_step(latents, t, cache, True),
+                                lambda: cfg_step(latents, t, cache, False)),
+                            lambda r: jax.lax.cond(
+                                r, lambda: plain_step(latents, t, cache, True),
+                                lambda: plain_step(latents, t, cache, False)),
+                            read)
+                    else:
+                        step = cfg_step if do_cfg else plain_step
+                        eps, cache = jax.lax.cond(
+                            read,
+                            lambda: step(latents, t, cache, True),
+                            lambda: step(latents, t, cache, False))
+                elif cfg_varies:
+                    use_cfg = jnp.logical_and(j >= cfg_lo, j < cfg_hi)
+                    eps, cache = jax.lax.cond(
+                        use_cfg,
+                        lambda: cfg_step(latents, t, cache, False),
+                        lambda: plain_step(latents, t, cache, False))
+                else:
+                    step = cfg_step if do_cfg else plain_step
+                    eps, cache = step(latents, t, cache, False)
+                return DDIMScheduler.step(eps, latents, at_d[j], ap_d[j]), cache
+
+            out, _ = jax.lax.fori_loop(
+                0, num_steps, body, (latents0.astype(jnp.float32), cache0))
+            return out
 
         self._denoise_jit[key] = denoise
         return denoise
