@@ -27,6 +27,14 @@ def main():
     # statistical — validation protocol in the audit). LATENTSYNC_INT8=0
     # benches the pure-bf16 path.
     os.environ.setdefault("LATENTSYNC_INT8", "1")
+    # DeepCache step caching + CFG guidance interval are the production
+    # inference mode at the moderate operating point (measured sweep in
+    # docs/perf_audit.md "Round-3 FLOP cuts"; same statistical fidelity
+    # gate + validation protocol as int8 — SyncNet conf within 2%).
+    # LATENTSYNC_DEEPCACHE=0 / LATENTSYNC_CFG_INTERVAL="" bench the
+    # exact-trajectory path.
+    os.environ.setdefault("LATENTSYNC_DEEPCACHE", "2:1")
+    os.environ.setdefault("LATENTSYNC_CFG_INTERVAL", "0:0.5")
     from latentsync_tpu.audio.features import Audio2Feature
     from latentsync_tpu.config import LatentSyncConfig, WhisperConfig
     from latentsync_tpu.models.unet3d import UNet3DConditionModel
@@ -199,6 +207,8 @@ def main():
         "detail": {
             "windows": W, "times_s": [round(t, 3) for t in times],
             "int8_convs": os.environ.get("LATENTSYNC_INT8") == "1",
+            "deepcache": os.environ.get("LATENTSYNC_DEEPCACHE", ""),
+            "cfg_interval": os.environ.get("LATENTSYNC_CFG_INTERVAL", ""),
             **({"stage_ms": stage_ms} if stage_ms else {}),
             **e2e,
             "device_path_5s_clip_s": round((125 / fps) * 1.0, 3),

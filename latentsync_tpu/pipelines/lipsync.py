@@ -661,7 +661,8 @@ class LipsyncPipeline:
                 return restore_frames_device(frames, resize_all(), mats)
             except Exception as e:  # noqa: BLE001 — OOM on huge frames → host path
                 print(f"device restore fell back to host: {type(e).__name__}")
-        out = restore_frames_native(frames, resize_all(), mats)
+        # callers hand in a fresh fancy-indexed batch — paste in place
+        out = restore_frames_native(frames, resize_all(), mats, copy=False)
         if out is not None:
             return out
         import cv2

@@ -61,18 +61,22 @@ def restore_frames_native(
     faces: np.ndarray,
     matrices: np.ndarray,
     threads: int = 0,
+    copy: bool = True,
 ) -> Optional[np.ndarray]:
     """Fused inverse-warp + soft-mask paste-back over a frame batch.
 
-    frames: (N, H, W, 3) uint8 (modified copy returned); faces:
-    (N, fh, fw, 3) uint8; matrices: (N, 2, 3) forward align matrices
-    (inverted in native code). Returns None if the native lib is
-    unavailable.
+    frames: (N, H, W, 3) uint8 (modified copy returned; pass copy=False
+    when the caller owns a contiguous scratch batch to paste into);
+    faces: (N, fh, fw, 3) uint8; matrices: (N, 2, 3) forward align
+    matrices (inverted in native code). Returns None if the native lib
+    is unavailable.
     """
     lib = get_lib()
     if lib is None:
         return None
-    frames = np.ascontiguousarray(frames, np.uint8).copy()
+    frames = np.ascontiguousarray(frames, np.uint8)
+    if copy:
+        frames = frames.copy()
     faces = np.ascontiguousarray(faces, np.uint8)
     mats = np.ascontiguousarray(matrices, np.float64)
     n, h, w, _ = frames.shape

@@ -64,40 +64,67 @@ inline float mask_coverage(float sx, float sy, int fh, int fw) {
   return std::min(cx, 1.f) * std::min(cy, 1.f);
 }
 
-// Separable box-min (erosion by k×k square), in-place via temp buffer.
-void erode(std::vector<float>& m, std::vector<float>& tmp, int h, int w, int k) {
-  if (k <= 1) return;
+// Border read for the bbox-restricted passes: a coordinate beyond the
+// working region is 0 (the true mask value there — the region is padded
+// past the mask's support) unless it is also beyond the FRAME edge,
+// where cv2's BORDER_REPLICATE clamps to the edge pixel; the clipped
+// working region contains that pixel whenever the clamp applies.
+inline float border_read(const float* row, int n, int x, bool rep_lo,
+                         bool rep_hi) {
+  if (x < 0) return rep_lo ? row[0] : 0.f;
+  if (x >= n) return rep_hi ? row[n - 1] : 0.f;
+  return row[x];
+}
+
+// O(1)-per-pixel sliding-window minimum (monotonic deque) over one line
+// with the erode window [x-r, x+k-1-r] (cv2 anchor k/2).
+void slide_min_line(const float* src, float* dst, int n, int k, bool rep_lo,
+                    bool rep_hi, std::vector<int>& dq) {
   int r = k / 2;
-  // horizontal pass
-  for (int y = 0; y < h; ++y) {
-    const float* row = m.data() + static_cast<size_t>(y) * w;
-    float* trow = tmp.data() + static_cast<size_t>(y) * w;
-    for (int x = 0; x < w; ++x) {
-      float v = 1.f;
-      int x0 = std::max(0, x - r), x1 = std::min(w - 1, x + k - 1 - r);
-      for (int xx = x0; xx <= x1; ++xx) v = std::min(v, row[xx]);
-      // cv2.erode with even kernels anchors at k/2; borders replicate —
-      // clamping the window approximates BORDER_REPLICATE
-      trow[x] = v;
-    }
+  dq.clear();
+  int head = 0;  // dq[head..] are candidate indices, values increasing
+  auto val = [&](int x) { return border_read(src, n, x, rep_lo, rep_hi); };
+  int lead = k - 1 - r;
+  // prime the window for x = 0: indices [-r, lead)
+  for (int x = -r; x < lead; ++x) {
+    while (static_cast<int>(dq.size()) > head && val(dq.back()) >= val(x))
+      dq.pop_back();
+    dq.push_back(x);
   }
-  // vertical pass
-  for (int y = 0; y < h; ++y) {
-    float* row = m.data() + static_cast<size_t>(y) * w;
-    int y0 = std::max(0, y - r), y1 = std::min(h - 1, y + k - 1 - r);
-    for (int x = 0; x < w; ++x) {
-      float v = 1.f;
-      for (int yy = y0; yy <= y1; ++yy)
-        v = std::min(v, tmp[static_cast<size_t>(yy) * w + x]);
-      row[x] = v;
-    }
+  for (int x = 0; x < n; ++x) {
+    int in = x + lead;
+    while (static_cast<int>(dq.size()) > head && val(dq.back()) >= val(in))
+      dq.pop_back();
+    dq.push_back(in);
+    while (dq[head] < x - r) ++head;
+    dst[x] = val(dq[head]);
+  }
+}
+
+// Separable box-min (erosion by k×k square) over an (h, w) working
+// region; rep_* flag frame-edge replicate semantics per side.
+void erode(std::vector<float>& m, std::vector<float>& tmp, int h, int w, int k,
+           bool rep_l = false, bool rep_r = false, bool rep_t = false,
+           bool rep_b = false) {
+  if (k <= 1) return;
+  std::vector<int> dq;
+  std::vector<float> col(h), colo(h);
+  for (int y = 0; y < h; ++y)
+    slide_min_line(m.data() + static_cast<size_t>(y) * w,
+                   tmp.data() + static_cast<size_t>(y) * w, w, k, rep_l, rep_r,
+                   dq);
+  for (int x = 0; x < w; ++x) {
+    for (int y = 0; y < h; ++y) col[y] = tmp[static_cast<size_t>(y) * w + x];
+    slide_min_line(col.data(), colo.data(), h, k, rep_t, rep_b, dq);
+    for (int y = 0; y < h; ++y) m[static_cast<size_t>(y) * w + x] = colo[y];
   }
 }
 
 // Separable Gaussian blur, sigma derived from kernel size like cv2
 // (sigma = 0.3*((ksize-1)*0.5 - 1) + 0.8).
 void gaussian_blur(std::vector<float>& m, std::vector<float>& tmp, int h, int w,
-                   int ksize) {
+                   int ksize, bool rep_l = false, bool rep_r = false,
+                   bool rep_t = false, bool rep_b = false) {
   if (ksize <= 1) return;
   int r = ksize / 2;
   double sigma = 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8;
@@ -114,23 +141,30 @@ void gaussian_blur(std::vector<float>& m, std::vector<float>& tmp, int h, int w,
     float* trow = tmp.data() + static_cast<size_t>(y) * w;
     for (int x = 0; x < w; ++x) {
       float acc = 0.f;
-      for (int i = -r; i <= r; ++i) {
-        int xx = std::min(std::max(x + i, 0), w - 1);
-        acc += row[xx] * kern[i + r];
+      // interior fast path: no border handling inside [r, w-1-r]
+      if (x >= r && x + r < w) {
+        for (int i = -r; i <= r; ++i) acc += row[x + i] * kern[i + r];
+      } else {
+        for (int i = -r; i <= r; ++i)
+          acc += border_read(row, w, x + i, rep_l, rep_r) * kern[i + r];
       }
       trow[x] = acc;
     }
   }
-  for (int y = 0; y < h; ++y) {
-    float* row = m.data() + static_cast<size_t>(y) * w;
-    for (int x = 0; x < w; ++x) {
+  std::vector<float> col(h), colo(h);
+  for (int x = 0; x < w; ++x) {
+    for (int y = 0; y < h; ++y) col[y] = tmp[static_cast<size_t>(y) * w + x];
+    for (int y = 0; y < h; ++y) {
       float acc = 0.f;
-      for (int i = -r; i <= r; ++i) {
-        int yy = std::min(std::max(y + i, 0), h - 1);
-        acc += tmp[static_cast<size_t>(yy) * w + x] * kern[i + r];
+      if (y >= r && y + r < h) {
+        for (int i = -r; i <= r; ++i) acc += col[y + i] * kern[i + r];
+      } else {
+        for (int i = -r; i <= r; ++i)
+          acc += border_read(col.data(), h, y + i, rep_t, rep_b) * kern[i + r];
       }
-      row[x] = acc;
+      colo[y] = acc;
     }
+    for (int y = 0; y < h; ++y) m[static_cast<size_t>(y) * w + x] = colo[y];
   }
 }
 
@@ -146,18 +180,64 @@ void restore_one(uint8_t* frame, const uint8_t* face, const double* align_m,
   double ia = m.a, ib = m.b, itx = m.tx;
   double ic = m.c, id = m.d, ity = m.ty;
 
-  std::vector<float> mask(static_cast<size_t>(h) * w);
-  std::vector<float> tmp(static_cast<size_t>(h) * w);
-  std::vector<float> pasted(static_cast<size_t>(h) * w * 3);
+  // All passes run only on the padded bounding box of the inverse-warped
+  // crop quad: the mask is zero outside it, erosion only shrinks the
+  // support, and the blur extends it by a radius the padding covers —
+  // everything beyond the box is bit-identical to the full-frame pass
+  // (frame pixels untouched where soft == 0). On a 1080×1920 frame this
+  // is ~5× less work than the former full-frame passes.
+  double det = ia * id - ib * ic;
+  int bx0 = 0, by0 = 0, bx1 = w - 1, by1 = h - 1;
+  if (std::abs(det) > 1e-12) {
+    double ja = id / det, jb = -ib / det, jc = -ic / det, jd = ia / det;
+    double jtx = (ib * ity - id * itx) / det;
+    double jty = (ic * itx - ia * ity) / det;
+    double xs[4], ys[4];
+    const double cx[4] = {-1.0, static_cast<double>(fw), -1.0,
+                          static_cast<double>(fw)};
+    const double cy[4] = {-1.0, -1.0, static_cast<double>(fh),
+                          static_cast<double>(fh)};
+    double x_lo = 1e30, x_hi = -1e30, y_lo = 1e30, y_hi = -1e30;
+    for (int i = 0; i < 4; ++i) {
+      xs[i] = ja * cx[i] + jb * cy[i] + jtx;
+      ys[i] = jc * cx[i] + jd * cy[i] + jty;
+      x_lo = std::min(x_lo, xs[i]); x_hi = std::max(x_hi, xs[i]);
+      y_lo = std::min(y_lo, ys[i]); y_hi = std::max(y_hi, ys[i]);
+    }
+    // upper bound on w_edge from the quad area (area after the 2×2
+    // erosion can only be smaller)
+    double area_ub = static_cast<double>(fw) * fh / std::abs(det);
+    int we_ub = static_cast<int>(std::sqrt(std::max(area_ub, 0.0))) / 20 + 1;
+    int pad = 2 * we_ub + 4;
+    bx0 = std::max(0, static_cast<int>(std::floor(x_lo)) - pad);
+    by0 = std::max(0, static_cast<int>(std::floor(y_lo)) - pad);
+    bx1 = std::min(w - 1, static_cast<int>(std::ceil(x_hi)) + pad);
+    by1 = std::min(h - 1, static_cast<int>(std::ceil(y_hi)) + pad);
+    if (bx0 > bx1 || by0 > by1) return;  // face entirely off-frame
+  }
+  int bw = bx1 - bx0 + 1, bh = by1 - by0 + 1;
+  bool rep_l = bx0 == 0, rep_r = bx1 == w - 1;
+  bool rep_t = by0 == 0, rep_b = by1 == h - 1;
+
+  std::vector<float> mask(static_cast<size_t>(bh) * bw);
+  std::vector<float> tmp(static_cast<size_t>(bh) * bw);
+  std::vector<float> pasted(static_cast<size_t>(bh) * bw * 3);
 
   double area = 0;
-  for (int y = 0; y < h; ++y) {
-    for (int x = 0; x < w; ++x) {
-      float sx = static_cast<float>(ia * x + ib * y + itx);
-      float sy = static_cast<float>(ic * x + id * y + ity);
-      size_t i = static_cast<size_t>(y) * w + x;
+  for (int y = 0; y < bh; ++y) {
+    int gy = by0 + y;
+    for (int x = 0; x < bw; ++x) {
+      int gx = bx0 + x;
+      float sx = static_cast<float>(ia * gx + ib * gy + itx);
+      float sy = static_cast<float>(ic * gx + id * gy + ity);
+      size_t i = static_cast<size_t>(y) * bw + x;
       float cov = mask_coverage(sx, sy, fh, fw);
       mask[i] = cov;
+      if (cov == 0.f) {
+        // composite multiplies pasted by the (eroded) mask — zero here
+        pasted[i * 3 + 0] = pasted[i * 3 + 1] = pasted[i * 3 + 2] = 0.f;
+        continue;
+      }
       float px[3];
       sample_bilinear<3>(face, fh, fw, sx, sy, px);
       pasted[i * 3 + 0] = px[0];
@@ -166,22 +246,23 @@ void restore_one(uint8_t* frame, const uint8_t* face, const double* align_m,
     }
   }
   // erosion #1: 2×2 (ref: np.ones((2,2)))
-  erode(mask, tmp, h, w, 2);
+  erode(mask, tmp, bh, bw, 2, rep_l, rep_r, rep_t, rep_b);
   for (size_t i = 0; i < mask.size(); ++i) area += mask[i];
 
   int w_edge = static_cast<int>(std::sqrt(std::max(area, 0.0))) / 20;
   std::vector<float> soft(mask);
   if (w_edge > 0) {
-    erode(soft, tmp, h, w, w_edge * 2);
-    gaussian_blur(soft, tmp, h, w, w_edge * 2 + 1);
+    erode(soft, tmp, bh, bw, w_edge * 2, rep_l, rep_r, rep_t, rep_b);
+    gaussian_blur(soft, tmp, bh, bw, w_edge * 2 + 1, rep_l, rep_r, rep_t,
+                  rep_b);
   }
 
-  for (int y = 0; y < h; ++y) {
-    for (int x = 0; x < w; ++x) {
-      size_t i = static_cast<size_t>(y) * w + x;
+  for (int y = 0; y < bh; ++y) {
+    for (int x = 0; x < bw; ++x) {
+      size_t i = static_cast<size_t>(y) * bw + x;
       float sm = soft[i];
       float hard = mask[i];
-      uint8_t* dst = frame + i * 3;
+      uint8_t* dst = frame + (static_cast<size_t>(by0 + y) * w + bx0 + x) * 3;
       for (int k = 0; k < 3; ++k) {
         float v = sm * (hard * pasted[i * 3 + k]) + (1.f - sm) * dst[k];
         dst[k] = static_cast<uint8_t>(std::min(std::max(v, 0.f), 255.f));

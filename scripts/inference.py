@@ -105,6 +105,7 @@ def build_pipeline(args, dtype=jnp.bfloat16):
 
 
 def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
     p = argparse.ArgumentParser()
     p.add_argument("--video", required=True, dest="video_path")
     p.add_argument("--audio", required=True, dest="audio_path")
