@@ -252,11 +252,16 @@ class GEGLUFeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from ..ops.qconv import QDense
+
+        # QDense == nn.Dense (same param layout, plain float matmul)
+        # unless LATENTSYNC_INT8_DENSE routes it through the int8 path —
+        # the GEGLU pair carries 31% of forward FLOPs (docs/perf_audit.md)
         inner = self.dim * 4
-        h = nn.Dense(inner * 2, dtype=self.dtype, name="net_0_proj")(x)
+        h = QDense(inner * 2, dtype=self.dtype, name="net_0_proj")(x)
         value, gate = jnp.split(h, 2, axis=-1)
         h = value * nn.gelu(gate, approximate=False)
-        return nn.Dense(self.dim, dtype=self.dtype, name="net_2")(h)
+        return QDense(self.dim, dtype=self.dtype, name="net_2")(h)
 
 
 class BasicTransformerBlock(nn.Module):

@@ -79,13 +79,19 @@ class QConv(nn.Module):
         return y + bias.astype(self.dtype)
 
 
+def int8_dense_mode() -> str:
+    """Gate for the int8 dense matmuls, read at trace time.
+    "" (off, default) — float matmul;
+    "1"/"xla" — lax.dot_general int8 path (probe: square C→C
+      projections win ~13%, wide GEGLU shapes lose to the HBM-side
+      quantize/dequant traffic — docs/perf_audit.md int8 probe);
+    "pallas" — ops/qmm fused kernel (quantize + dequant stay in VMEM)."""
+    mode = os.environ.get("LATENTSYNC_INT8_DENSE", "")
+    return {"1": "xla"}.get(mode, mode)
+
+
 def int8_dense_enabled() -> bool:
-    """Separate gate for the int8 attention-projection matmuls: the
-    probe showed square (C→C) projections win ~13% with dynamic int8
-    (131072×320×320: 0.77 → 0.67 ms) while the wide GEGLU shapes lose —
-    so only attention q/k/v/out and the temporal proj route here, and
-    only under LATENTSYNC_INT8_DENSE=1 (A/B-able independently)."""
-    return os.environ.get("LATENTSYNC_INT8_DENSE") == "1"
+    return int8_dense_mode() != ""
 
 
 class QDense(nn.Module):
@@ -105,11 +111,16 @@ class QDense(nn.Module):
                             (cin, self.features), jnp.float32)
         bias = (self.param("bias", nn.initializers.zeros, (self.features,),
                            jnp.float32) if self.use_bias else None)
-        if not int8_dense_enabled():
+        mode = int8_dense_mode()
+        if not mode:
             y = x.astype(self.dtype) @ kernel.astype(self.dtype)
             return y + bias.astype(self.dtype) if bias is not None else y
         shape = x.shape
-        out = _qdense_ste(x.reshape(-1, cin), kernel, bias)
+        x2d = x.reshape(-1, cin)
+        if mode == "pallas":
+            out = _qdense_pallas_ste(x2d, kernel, bias)
+        else:
+            out = _qdense_ste(x2d, kernel, bias)
         return out.astype(self.dtype).reshape(shape[:-1] + (self.features,))
 
 
@@ -151,6 +162,21 @@ def _qdense_ste_bwd(res, g):
 
 
 _qdense_ste.defvjp(_qdense_ste_fwd, _qdense_ste_bwd)
+
+
+@jax.custom_vjp
+def _qdense_pallas_ste(x, kernel, bias):
+    """ops/qmm fused int8 forward; straight-through float backward."""
+    from .qmm import quantized_matmul_pallas
+
+    return quantized_matmul_pallas(x, kernel, bias)
+
+
+def _qdense_pallas_ste_fwd(x, kernel, bias):
+    return _qdense_pallas_ste(x, kernel, bias), (x, kernel, bias)
+
+
+_qdense_pallas_ste.defvjp(_qdense_pallas_ste_fwd, _qdense_ste_bwd)
 
 
 def quantized_conv2d(

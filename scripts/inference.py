@@ -120,8 +120,19 @@ def main():
     p.add_argument("--resolution", type=int, default=0)
     p.add_argument("--data-path", default=None, help="precomputed affine bundle (.npz)")
     p.add_argument("--window-batch", type=int, default=2)
+    p.add_argument("--fast", default=None, nargs="?",
+                   const="int8,deepcache=2:1,cfg=0:0.5",
+                   help="fast inference mode (statistically gated — validate "
+                        "with scripts/validate_fidelity): comma list of int8 "
+                        "/ deepcache=I:d / cfg=lo:hi. Bare --fast selects the "
+                        "production operating point; omit for the exact "
+                        "trajectory (env knobs still honored)")
     args = p.parse_args()
 
+    if args.fast is not None:
+        from scripts.validate_fidelity import _set_fast_env
+
+        _set_fast_env(args.fast)
     pipe = build_pipeline(args)
     out = pipe(
         video_path=args.video_path,

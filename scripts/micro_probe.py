@@ -377,6 +377,46 @@ def main():
                 print(json.dumps({"name": f"conv3x3_int8_dyn_{hw}_{c}",
                                   "error": str(e)[:200]}), flush=True)
 
+    if which in ("all", "qmm"):
+        # the fused Pallas int8 matmul (ops/qmm): does keeping the
+        # activation quantize + int32 dequant in VMEM recover the MXU
+        # double-rate the XLA dense path loses (int8 probe above)?
+        from latentsync_tpu.ops.qmm import quantized_matmul_pallas
+
+        def fit(out, cin):
+            cout = out.shape[-1]
+            if cout >= cin:
+                return out[:, :cin]
+            return jnp.tile(out, (1, cin // cout + 1))[:, :cin]
+
+        mm_shapes = (
+            (bf * 1024, 320, 2560), (bf * 1024, 1280, 320),
+            (bf * 256, 640, 5120), (bf * 1024, 320, 320),
+        )
+        for rows, cin, cout in mm_shapes:
+            x = jnp.asarray(rng.standard_normal((rows, cin)), dt)
+            w = jnp.asarray(rng.standard_normal((cin, cout)) * 0.02,
+                            jnp.float32)
+            fl = 2 * rows * cin * cout
+
+            def mm_bf16(y, w=w.astype(dt), cin=cin):
+                return fit(jax.lax.dot_general(
+                    y, w, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(dt), cin)
+
+            bench_loop(f"qmm_bf16_{rows}x{cin}x{cout}", mm_bf16, x, fl,
+                       iters=args.iters)
+
+            def mm_pallas(y, w=w, cin=cin):
+                return fit(quantized_matmul_pallas(y, w).astype(dt), cin)
+
+            try:
+                bench_loop(f"qmm_pallas_{rows}x{cin}x{cout}", mm_pallas,
+                           x, fl, iters=args.iters)
+            except Exception as e:
+                print(json.dumps({"name": f"qmm_pallas_{rows}x{cin}x{cout}",
+                                  "error": str(e)[:200]}), flush=True)
+
     if which in ("all", "unet", "ablate"):
         import dataclasses
 

@@ -1,0 +1,148 @@
+"""One-command fidelity gate for the fast inference modes.
+
+The production fast path (int8 convs, DeepCache step caching, CFG
+guidance interval — docs/perf_audit.md "Round-3 FLOP cuts") is gated
+STATISTICALLY, not bitwise: BASELINE.md requires SyncNet confidence
+within 2% of the exact-trajectory run. This script runs that protocol
+end to end so the moment real weights drop in it is one command:
+
+python -m scripts.validate_fidelity --video assets/demo1_video.mp4 \
+    --audio assets/demo1_audio.wav \
+    [--unet-ckpt ...] [--vae-ckpt ...] [--whisper-ckpt ...] \
+    [--syncnet-ckpt checkpoints/auxiliary/syncnet_v2.model] \
+    [--fast "int8,deepcache=2:1,cfg=0:0.5"] [--tolerance 0.02]
+
+It renders the clip twice with identical seeds — once with every knob
+off (exact trajectory) and once with the requested fast configuration —
+scores both with the evaluation SyncNet (ref:eval/eval_sync_conf.py
+semantics), and exits non-zero if |conf_fast - conf_exact| exceeds
+tolerance * |conf_exact|.
+
+Without real checkpoints the run still exercises the full protocol on
+random weights, but the resulting confidences are meaningless noise —
+the JSON is tagged "weights": "random" so it can never be mistaken for
+a passed gate (same convention as scripts/eval_fvd.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _set_fast_env(spec: str):
+    """Parse "int8,deepcache=2:1,cfg=0:0.5" into the runtime env knobs."""
+    os.environ["LATENTSYNC_INT8"] = "0"
+    os.environ["LATENTSYNC_DEEPCACHE"] = "0"
+    os.environ["LATENTSYNC_CFG_INTERVAL"] = ""
+    for part in filter(None, (p.strip() for p in spec.split(","))):
+        if part == "int8":
+            os.environ["LATENTSYNC_INT8"] = "1"
+        elif part.startswith("deepcache="):
+            os.environ["LATENTSYNC_DEEPCACHE"] = part.split("=", 1)[1]
+        elif part.startswith("cfg="):
+            os.environ["LATENTSYNC_CFG_INTERVAL"] = part.split("=", 1)[1]
+        else:
+            raise SystemExit(f"unknown fast-mode token: {part!r}")
+
+
+def _clear_fast_env():
+    os.environ["LATENTSYNC_INT8"] = "0"
+    os.environ["LATENTSYNC_DEEPCACHE"] = "0"
+    os.environ["LATENTSYNC_CFG_INTERVAL"] = ""
+
+
+def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+    p = argparse.ArgumentParser()
+    p.add_argument("--video", required=True)
+    p.add_argument("--audio", required=True)
+    p.add_argument("--unet-config", default="")
+    p.add_argument("--unet-ckpt", default="checkpoints/latentsync_unet.pt")
+    p.add_argument("--vae-ckpt", default="checkpoints/sd-vae-ft-mse.pt")
+    p.add_argument("--whisper-ckpt", default="checkpoints/whisper/tiny.pt")
+    p.add_argument("--syncnet-ckpt",
+                   default="checkpoints/auxiliary/syncnet_v2.model")
+    p.add_argument("--fast", default="int8,deepcache=2:1,cfg=0:0.5",
+                   help="fast-mode spec: comma list of int8 / deepcache=I:d"
+                        " / cfg=lo:hi")
+    p.add_argument("--tolerance", type=float, default=0.02,
+                   help="relative SyncNet-confidence tolerance (BASELINE.md)")
+    p.add_argument("--inference-steps", type=int, default=20)
+    p.add_argument("--guidance-scale", type=float, default=1.5)
+    p.add_argument("--seed", type=int, default=1247)
+    p.add_argument("--window-batch", type=int, default=2)
+    p.add_argument("--workdir", default="/tmp/validate_fidelity")
+    args = p.parse_args()
+
+    os.makedirs(args.workdir, exist_ok=True)
+    from scripts.inference import build_pipeline
+
+    have_weights = os.path.isfile(args.unet_ckpt) and os.path.isfile(args.vae_ckpt)
+
+    outs = {}
+    # fresh pipeline per mode: the knobs are read at denoise-jit build
+    # time and the int8 flag at conv trace time, so reuse would leak the
+    # previous mode's compiled functions
+    for mode, setup in (("exact", _clear_fast_env),
+                        ("fast", lambda: _set_fast_env(args.fast))):
+        setup()
+        pipe = build_pipeline(args)
+        out_path = os.path.join(args.workdir, f"{mode}.mp4")
+        pipe(
+            video_path=args.video,
+            audio_path=args.audio,
+            video_out_path=out_path,
+            num_inference_steps=args.inference_steps,
+            guidance_scale=args.guidance_scale,
+            seed=args.seed,
+            window_batch=args.window_batch,
+        )
+        outs[mode] = out_path
+        del pipe
+
+    _clear_fast_env()
+    from latentsync_tpu.eval.sync_eval import SyncNetEvaluator
+
+    sync_params = None
+    sync_weights = "random"
+    if os.path.isfile(args.syncnet_ckpt):
+        import jax
+        import jax.numpy as jnp
+
+        from latentsync_tpu.utils.convert import load_torch_state_dict
+        from latentsync_tpu.utils.convert_eval import convert_syncnet_s
+
+        sd, _ = load_torch_state_dict(args.syncnet_ckpt)
+        sync_params = jax.tree.map(jnp.asarray, convert_syncnet_s(sd))
+        sync_weights = "pretrained"
+    evaluator = SyncNetEvaluator(sync_params)
+
+    confs = {}
+    for mode, path in outs.items():
+        _offset, _min_dist, conf = evaluator.evaluate(path)
+        confs[mode] = conf
+
+    rel = (abs(confs["fast"] - confs["exact"]) / abs(confs["exact"])
+           if confs["exact"] else float("inf"))
+    weights = "pretrained" if (have_weights and sync_weights == "pretrained") \
+        else "random"
+    passed = rel <= args.tolerance
+    print(json.dumps({
+        "fast_mode": args.fast,
+        "conf_exact": round(confs["exact"], 4),
+        "conf_fast": round(confs["fast"], 4),
+        "rel_delta": round(rel, 4),
+        "tolerance": args.tolerance,
+        "weights": weights,
+        "gate": ("PASS" if passed else "FAIL") if weights == "pretrained"
+                else "INCONCLUSIVE (random weights)",
+    }))
+    if weights == "pretrained" and not passed:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

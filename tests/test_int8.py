@@ -219,3 +219,62 @@ def test_int8_paths_have_straight_through_gradients(monkeypatch):
         assert np.abs(np.asarray(a)).max() > 0
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0.6, atol=0.6)
+
+
+def test_qmm_pallas_matches_xla_int8_scheme():
+    """The fused Pallas kernel (ops/qmm) implements the SAME quantization
+    scheme as the XLA dense path — identical scales, int32 accumulate —
+    so in interpret mode the two agree to float rounding."""
+    from latentsync_tpu.ops.qconv import _qdense_ste
+    from latentsync_tpu.ops.qmm import quantized_matmul_pallas
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((48, 40)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((40, 96)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((96,)), jnp.float32)
+    ref = np.asarray(_qdense_ste(x, w, b))
+    got = np.asarray(quantized_matmul_pallas(x, w, b, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_qmm_pallas_ragged_edges():
+    """M/N not divisible by the block sizes: edge blocks are masked."""
+    from latentsync_tpu.ops.qconv import _qdense_ste
+    from latentsync_tpu.ops.qmm import quantized_matmul_pallas
+
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((130, 24)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((24, 136)), jnp.float32)
+    ref = np.asarray(_qdense_ste(x, w, None))
+    got = np.asarray(quantized_matmul_pallas(x, w, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_qdense_pallas_mode(monkeypatch):
+    """LATENTSYNC_INT8_DENSE=pallas routes QDense through ops/qmm with
+    the straight-through backward intact."""
+    from latentsync_tpu.ops.qconv import QDense
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((2, 5, 32)), jnp.float32)
+    m = QDense(16)
+    monkeypatch.delenv("LATENTSYNC_INT8_DENSE", raising=False)
+    params = m.init(jax.random.PRNGKey(0), x)
+    ref = np.asarray(m.apply(params, x))
+
+    def loss(p):
+        return jnp.sum(m.apply(p, x) ** 2)
+
+    # same quantization scheme as mode "1" → same forward values → the
+    # straight-through backwards must agree exactly (same cotangents
+    # through the same float vjp)
+    monkeypatch.setenv("LATENTSYNC_INT8_DENSE", "1")
+    g_xla = jax.grad(loss)(params)
+    monkeypatch.setenv("LATENTSYNC_INT8_DENSE", "pallas")
+    got = np.asarray(m.apply(params, x))
+    rel = np.abs(got - ref).mean() / max(np.abs(ref).mean(), 1e-9)
+    assert 0 < rel < 0.02, rel
+    g_pallas = jax.grad(loss)(params)
+    for a, b in zip(jax.tree.leaves(g_pallas), jax.tree.leaves(g_xla)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
