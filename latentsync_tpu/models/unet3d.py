@@ -594,7 +594,7 @@ class UNet3DConditionModel(nn.Module):
     @nn.compact
     def __call__(self, sample, timesteps, encoder_hidden_states=None,
                  deep_cache=None, cache_depth: int = 0,
-                 cache_read: bool = False):
+                 cache_read: bool = False, cache_encoder: bool = False):
         """`cache_depth`/`cache_read` implement DeepCache-style step
         caching over the DDIM trajectory (SyncCache / DeepCache family;
         PAPERS.md): with `cache_depth=d > 0` the call returns
@@ -607,7 +607,17 @@ class UNet3DConditionModel(nn.Module):
         (e.g. the last shallow downsampler) are dead-code-eliminated by
         XLA. Numerics are exact on write steps and approximate on read
         steps; the fidelity gate is statistical (BASELINE.md), and the
-        technique is off unless the caller opts in."""
+        technique is off unless the caller opts in.
+
+        `cache_encoder=True` additionally caches the shallow ENCODER
+        skips (encoder-propagation, Faster Diffusion family; PAPERS.md):
+        the cache becomes `(deep_feature, skip_tuple)` and a read step
+        runs ONLY up blocks `nb-d..` + conv_out on the cached features —
+        skipping conv_in and the shallow down blocks, whose 32²-level
+        attention dominates the plain read step's time. Read-step output
+        then depends on the cached features and t only; the DDIM update
+        still integrates it against the CURRENT latents, so the
+        trajectory remains live."""
         cfg = self.config
         if jnp.ndim(timesteps) == 0:
             timesteps = jnp.full((sample.shape[0],), timesteps)
@@ -624,16 +634,20 @@ class UNet3DConditionModel(nn.Module):
             sample = 2 * sample - 1.0
 
         sample = sample.astype(self.dtype)
-        x = InflatedConv(
-            cfg.block_out_channels[0], dtype=self.dtype, zero_init=True, name="conv_in"
-        )(sample)
-
         nb = len(cfg.block_out_channels)
         shallow_only = bool(cache_depth) and cache_read
-        n_down = cache_depth if shallow_only else nb
+        enc = bool(cache_depth) and cache_encoder
+        n_down = (0 if enc else cache_depth) if shallow_only else nb
 
         # down
-        skips = [x]
+        if shallow_only and enc:
+            skips = []  # replayed from the cache below
+        else:
+            x = InflatedConv(
+                cfg.block_out_channels[0], dtype=self.dtype, zero_init=True,
+                name="conv_in",
+            )(sample)
+            skips = [x]
         for i, block_type in enumerate(cfg.down_block_types):
             if i >= n_down:
                 break
@@ -657,10 +671,16 @@ class UNet3DConditionModel(nn.Module):
             skips.extend(outs)
 
         if shallow_only:
-            # the last shallow block's downsampler output feeds only the
-            # skipped deep trunk (its skip belongs to up block nb-1-d)
-            skips.pop()
-            x = deep_cache.astype(self.dtype)
+            if enc:
+                deep, enc_skips = deep_cache
+                skips = [s.astype(self.dtype) for s in enc_skips]
+                x = deep.astype(self.dtype)
+            else:
+                # the last shallow block's downsampler output feeds only
+                # the skipped deep trunk (its skip belongs to up block
+                # nb-1-d)
+                skips.pop()
+                x = deep_cache.astype(self.dtype)
         else:
             # mid
             x = MidBlock3D(
@@ -677,7 +697,9 @@ class UNet3DConditionModel(nn.Module):
             if shallow_only and i < nb - cache_depth:
                 continue
             if cache_depth and not cache_read and i == nb - cache_depth:
-                cache_out = x
+                # with encoder-propagation the remaining (unconsumed)
+                # skips at this point are exactly the shallow-slice set
+                cache_out = (x, tuple(skips)) if enc else x
             res = 2 ** (3 - i)
             is_final = i == nb - 1
             use_mm = cfg.use_motion_module and res in cfg.motion_module_resolutions

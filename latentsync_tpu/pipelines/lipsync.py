@@ -269,41 +269,46 @@ class LipsyncPipeline:
         return pieces
 
     @staticmethod
-    def _flop_cut_knobs(num_steps: int) -> Tuple[int, int, int, int]:
+    def _flop_cut_knobs(num_steps: int) -> Tuple[int, int, bool, int, int]:
         """Parse the two statistically-gated FLOP-cut env knobs
         (docs/perf_audit.md "round-3 FLOP cuts"; fidelity gate is
         SyncNet confidence within 2% — BASELINE.md — not bitwise).
 
-        LATENTSYNC_DEEPCACHE="I" or "I:d": DeepCache-style step caching
-          — UNet runs the full trunk every I-th DDIM step and replays
-          the cached deep feature (depth d shallow blocks executed) on
-          the others. Off when unset/empty/"0".
+        LATENTSYNC_DEEPCACHE="I" or "I:d" or "I:d:enc": DeepCache-style
+          step caching — UNet runs the full trunk every I-th DDIM step
+          and replays the cached deep feature (depth d shallow blocks
+          executed) on the others. The "enc" suffix additionally caches
+          the shallow encoder skips (encoder propagation, Faster
+          Diffusion family) so read steps run only the up blocks +
+          conv_out. Off when unset/empty/"0".
         LATENTSYNC_CFG_INTERVAL="lo:hi" (fractions of the trajectory):
           the unconditional CFG branch runs only for steps
           lo·N ≤ j < hi·N; outside the interval the UNet runs
           conditional-only at half batch (guidance-interval result of
           Kynkäänniemi et al. 2024). Off when unset/empty.
-        Returns (dc_interval, dc_depth, cfg_lo, cfg_hi)."""
+        Returns (dc_interval, dc_depth, dc_enc, cfg_lo, cfg_hi)."""
         dc = os.environ.get("LATENTSYNC_DEEPCACHE", "")
-        dc_interval, dc_depth = 0, 0
+        dc_interval, dc_depth, dc_enc = 0, 0, False
         if dc and dc != "0":
             parts = dc.split(":")
             dc_interval = int(parts[0])
             dc_depth = int(parts[1]) if len(parts) > 1 else 1
+            dc_enc = len(parts) > 2 and parts[2] in ("enc", "1")
             if dc_interval <= 1:
-                dc_interval, dc_depth = 0, 0
+                dc_interval, dc_depth, dc_enc = 0, 0, False
         ci = os.environ.get("LATENTSYNC_CFG_INTERVAL", "")
         cfg_lo, cfg_hi = 0, num_steps
         if ci:
             lo_s, hi_s = ci.split(":")
             cfg_lo = int(round(float(lo_s) * num_steps))
             cfg_hi = int(round(float(hi_s) * num_steps))
-        return dc_interval, dc_depth, cfg_lo, cfg_hi
+        return dc_interval, dc_depth, dc_enc, cfg_lo, cfg_hi
 
     def _denoise_fn(self, num_steps: int, guidance: float, do_cfg: bool):
-        dc_interval, dc_depth, cfg_lo, cfg_hi = self._flop_cut_knobs(num_steps)
+        dc_interval, dc_depth, dc_enc, cfg_lo, cfg_hi = \
+            self._flop_cut_knobs(num_steps)
         key = (num_steps, float(guidance), do_cfg,
-               dc_interval, dc_depth, cfg_lo, cfg_hi)
+               dc_interval, dc_depth, dc_enc, cfg_lo, cfg_hi)
         if key in self._denoise_jit:
             return self._denoise_jit[key]
 
@@ -339,7 +344,7 @@ class LipsyncPipeline:
                     eps, new_cache = unet.apply(
                         params, unet_in, tvec, audio_c,
                         deep_cache=cache_c, cache_depth=dc_depth,
-                        cache_read=read)
+                        cache_read=read, cache_encoder=dc_enc)
                     return eps.astype(jnp.float32), new_cache
                 eps = unet.apply(params, unet_in, tvec, audio_c)
                 return eps.astype(jnp.float32), cache_c
@@ -358,9 +363,11 @@ class LipsyncPipeline:
                 _, cache_sd = jax.eval_shape(
                     lambda p, a, tv, au: unet.apply(
                         p, a, tv, au, deep_cache=None,
-                        cache_depth=dc_depth, cache_read=False),
+                        cache_depth=dc_depth, cache_read=False,
+                        cache_encoder=dc_enc),
                     params, in_sd, t_sd, a_sd)
-                cache0 = jnp.zeros(cache_sd.shape, cache_sd.dtype)
+                cache0 = jax.tree.map(
+                    lambda sd: jnp.zeros(sd.shape, sd.dtype), cache_sd)
             else:
                 cache0 = jnp.zeros((), jnp.float32)
 
@@ -374,11 +381,13 @@ class LipsyncPipeline:
                 # conditional-only half-batch step (CFG interval off at
                 # this j). With CFG elsewhere in the trajectory the
                 # cache is batched 2w — use/update its cond half only.
-                half = cache[w:] if (dc_interval and do_cfg) else cache
+                half = (jax.tree.map(lambda c: c[w:], cache)
+                        if (dc_interval and do_cfg) else cache)
                 eps, nc = unet_call(latents, cond, audio, t, half, read)
                 if dc_interval and do_cfg:
-                    nc = cache if read else jax.lax.dynamic_update_slice_in_dim(
-                        cache, nc, w, axis=0)
+                    nc = cache if read else jax.tree.map(
+                        lambda full, new: jax.lax.dynamic_update_slice_in_dim(
+                            full, new, w, axis=0), cache, nc)
                 return eps, nc
 
             def body(j, carry):

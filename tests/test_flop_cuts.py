@@ -70,6 +70,55 @@ def test_deepcache_read_true_cache_matches_base(unet_and_inputs, depth):
     assert np.array_equal(np.asarray(passthrough), np.asarray(cache))
 
 
+@pytest.mark.parametrize("depth", [1, 2])
+def test_deepcache_encoder_write_matches_base(unet_and_inputs, depth):
+    """Encoder-propagation write steps are bitwise the normal forward
+    and cache (deep_feature, shallow_skips)."""
+    model, params, sample, t, audio, base = unet_and_inputs
+    eps, cache = model.apply(params, sample, t, audio,
+                             cache_depth=depth, cache_read=False,
+                             cache_encoder=True)
+    assert np.array_equal(np.asarray(eps), base)
+    deep, skips = cache
+    # conv_in + depth blocks × (layers_per_block outs + downsampler),
+    # minus the last downsampler (feeds only the skipped deep trunk)
+    lpb = model.config.layers_per_block
+    assert len(skips) == 1 + depth * (lpb + 1) - 1
+    assert deep.shape[0] == sample.shape[0]
+
+
+@pytest.mark.parametrize("depth", [1, 2])
+def test_deepcache_encoder_read_true_cache_matches_base(unet_and_inputs,
+                                                        depth):
+    """Up blocks replayed on the exact cached skips + deep feature
+    reproduce the full forward."""
+    model, params, sample, t, audio, base = unet_and_inputs
+    _, cache = model.apply(params, sample, t, audio,
+                           cache_depth=depth, cache_read=False,
+                           cache_encoder=True)
+    eps, passthrough = model.apply(params, sample, t, audio,
+                                   deep_cache=cache, cache_depth=depth,
+                                   cache_read=True, cache_encoder=True)
+    np.testing.assert_allclose(np.asarray(eps), base, rtol=1e-5, atol=1e-5)
+    assert np.array_equal(np.asarray(passthrough[0]), np.asarray(cache[0]))
+
+
+def test_deepcache_encoder_read_ignores_sample(unet_and_inputs):
+    """The enc-read slice runs no encoder: its output depends on the
+    cache and t only (the DDIM update reintroduces the current
+    latents) — assert the input sample genuinely does not flow in."""
+    model, params, sample, t, audio, base = unet_and_inputs
+    _, cache = model.apply(params, sample, t, audio,
+                           cache_depth=1, cache_read=False,
+                           cache_encoder=True)
+    a, _ = model.apply(params, sample, t, audio, deep_cache=cache,
+                       cache_depth=1, cache_read=True, cache_encoder=True)
+    b, _ = model.apply(params, sample * -3.0 + 1.0, t, audio,
+                       deep_cache=cache, cache_depth=1, cache_read=True,
+                       cache_encoder=True)
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_deepcache_read_stale_cache_differs(unet_and_inputs):
     """A stale feature produces a *different* (but finite) output — the
     read path is live, not silently falling back to the full trunk."""
@@ -141,6 +190,8 @@ def _tiny_denoise_inputs(pipe, w=2):
     {"LATENTSYNC_DEEPCACHE": "2:1"},
     {"LATENTSYNC_CFG_INTERVAL": "0.2:0.8"},
     {"LATENTSYNC_DEEPCACHE": "2:1", "LATENTSYNC_CFG_INTERVAL": "0.2:0.8"},
+    {"LATENTSYNC_DEEPCACHE": "2:1:enc"},
+    {"LATENTSYNC_DEEPCACHE": "2:1:enc", "LATENTSYNC_CFG_INTERVAL": "0.2:0.8"},
 ])
 def test_denoise_flop_cut_paths(tiny_pipeline_shared, monkeypatch, env):
     """The full denoise loop runs under each knob combination and lands
@@ -181,12 +232,12 @@ def test_flop_cut_knob_parsing(monkeypatch):
 
     monkeypatch.delenv("LATENTSYNC_DEEPCACHE", raising=False)
     monkeypatch.delenv("LATENTSYNC_CFG_INTERVAL", raising=False)
-    assert LipsyncPipeline._flop_cut_knobs(20) == (0, 0, 0, 20)
+    assert LipsyncPipeline._flop_cut_knobs(20) == (0, 0, False, 0, 20)
     monkeypatch.setenv("LATENTSYNC_DEEPCACHE", "3")
-    assert LipsyncPipeline._flop_cut_knobs(20) == (3, 1, 0, 20)
+    assert LipsyncPipeline._flop_cut_knobs(20) == (3, 1, False, 0, 20)
     monkeypatch.setenv("LATENTSYNC_DEEPCACHE", "2:2")
     monkeypatch.setenv("LATENTSYNC_CFG_INTERVAL", "0.25:0.75")
-    assert LipsyncPipeline._flop_cut_knobs(20) == (2, 2, 5, 15)
+    assert LipsyncPipeline._flop_cut_knobs(20) == (2, 2, False, 5, 15)
     monkeypatch.setenv("LATENTSYNC_DEEPCACHE", "0")
     monkeypatch.setenv("LATENTSYNC_CFG_INTERVAL", "")
     assert LipsyncPipeline._flop_cut_knobs(20)[:2] == (0, 0)

@@ -56,6 +56,6 @@ def test_parsed_spec_matches_pipeline_knob_semantics():
     from latentsync_tpu.pipelines.lipsync import LipsyncPipeline
 
     _set_fast_env("deepcache=2:1,cfg=0:0.5")
-    assert LipsyncPipeline._flop_cut_knobs(20) == (2, 1, 0, 10)
+    assert LipsyncPipeline._flop_cut_knobs(20) == (2, 1, False, 0, 10)
     _clear_fast_env()
-    assert LipsyncPipeline._flop_cut_knobs(20) == (0, 0, 0, 20)
+    assert LipsyncPipeline._flop_cut_knobs(20) == (0, 0, False, 0, 20)
