@@ -27,13 +27,17 @@ def main():
     # statistical — validation protocol in the audit). LATENTSYNC_INT8=0
     # benches the pure-bf16 path.
     os.environ.setdefault("LATENTSYNC_INT8", "1")
-    # DeepCache step caching + CFG guidance interval are the production
-    # inference mode at the moderate operating point (measured sweep in
-    # docs/perf_audit.md "Round-3 FLOP cuts"; same statistical fidelity
-    # gate + validation protocol as int8 — SyncNet conf within 2%).
+    # DeepCache + encoder propagation + CFG guidance interval are the
+    # production inference mode (measured sweep in docs/perf_audit.md
+    # "Round-3 FLOP cuts": 2:1:enc 17.4 / 3:1:enc 19.6 / 4:1:enc 21.6 /
+    # 5:1:enc 23.1 fps; same statistical fidelity gate + validation
+    # protocol as int8 — SyncNet conf within 2%, scripts/
+    # validate_fidelity.py runs the gate the moment real weights drop).
+    # 4:1:enc is the default operating point — one notch below the max
+    # measured, deep trunk refreshed 5x per 20-step trajectory.
     # LATENTSYNC_DEEPCACHE=0 / LATENTSYNC_CFG_INTERVAL="" bench the
     # exact-trajectory path.
-    os.environ.setdefault("LATENTSYNC_DEEPCACHE", "2:1")
+    os.environ.setdefault("LATENTSYNC_DEEPCACHE", "4:1:enc")
     os.environ.setdefault("LATENTSYNC_CFG_INTERVAL", "0:0.5")
     from latentsync_tpu.audio.features import Audio2Feature
     from latentsync_tpu.config import LatentSyncConfig, WhisperConfig

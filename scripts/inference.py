@@ -121,12 +121,13 @@ def main():
     p.add_argument("--data-path", default=None, help="precomputed affine bundle (.npz)")
     p.add_argument("--window-batch", type=int, default=2)
     p.add_argument("--fast", default=None, nargs="?",
-                   const="int8,deepcache=2:1,cfg=0:0.5",
+                   const="int8,deepcache=4:1:enc,cfg=0:0.5",
                    help="fast inference mode (statistically gated — validate "
                         "with scripts/validate_fidelity): comma list of int8 "
-                        "/ deepcache=I:d / cfg=lo:hi. Bare --fast selects the "
-                        "production operating point; omit for the exact "
-                        "trajectory (env knobs still honored)")
+                        "/ deepcache=I:d[:enc] / cfg=lo:hi. Bare --fast "
+                        "selects the production operating point (21.6 fps "
+                        "measured); omit for the exact trajectory (env knobs "
+                        "still honored)")
     args = p.parse_args()
 
     if args.fast is not None:

@@ -475,6 +475,49 @@ def main():
                 }), flush=True)
             del params
 
+    if which in ("all", "vae"):
+        # VAE encode/decode stage cost at the serving chunk shapes —
+        # as denoise shrinks under the FLOP-cut knobs, this stage's
+        # share of the device path grows (docs/perf_audit.md r03).
+        from latentsync_tpu.config import LatentSyncConfig
+        from latentsync_tpu.models.vae import AutoencoderKL
+        from latentsync_tpu.utils.params import cast_floating, fast_init
+
+        vcfg = LatentSyncConfig().vae
+        vae = AutoencoderKL(vcfg, dtype=dt)
+        vparams = cast_floating(
+            fast_init(
+                lambda x: vae.init(jax.random.PRNGKey(0), x,
+                                   jax.random.PRNGKey(1)),
+                jnp.zeros((1, 256, 256, 3)), seed=1,
+            ),
+            dt,
+        )
+        for n in (32, 64):
+            pix = jnp.asarray(rng.standard_normal((n, 256, 256, 3)), dt) * 0.3
+            lat = jnp.asarray(rng.standard_normal((n, 32, 32, 4)), dt)
+            for name, fn, x in (
+                ("vae_encode", lambda p, y: vae.apply(p, y, method="encode"), pix),
+                ("vae_decode", lambda p, y: vae.apply(p, y, method="decode"), lat),
+            ):
+                c = jax.jit(fn).lower(vparams, x).compile()
+                cost = c.cost_analysis()
+                fl = float(cost.get("flops", 0.0)) if cost else 0.0
+                fetch_sync(c(vparams, x))
+                t0 = time.perf_counter()
+                rounds = 5
+                out = None
+                for _ in range(rounds):
+                    out = c(vparams, x)
+                fetch_sync(out)
+                t = (time.perf_counter() - t0) / rounds
+                print(json.dumps({
+                    "name": f"{name}_n{n}", "ms": round(t * 1e3, 3),
+                    "gflops": round(fl / 1e9, 1),
+                    "mfu": round(fl / t / PEAK, 3),
+                }), flush=True)
+                del c
+
 
 if __name__ == "__main__":
     main()
