@@ -105,14 +105,19 @@ class WhisperTranscriber:
             window_segs = tokens_to_segments(
                 tokens[0], self.tokenizer, segment_offset_sec=offset)
             segments.extend(window_segs)
+            if end >= num_frames:
+                break
             if window_segs and window_segs[-1]["end"] > offset:
                 # timestamp-driven seek (ref:transcribe.py:150-192)
-                seek = int(round((window_segs[-1]["end"]) * 100))
-                seek = max(seek, end if end == num_frames else seek)
+                new_seek = int(round(window_segs[-1]["end"] * 100))
             else:
-                seek = end
-            if seek <= 0 or seek >= num_frames:
-                break
+                new_seek = end
+            # guarantee forward progress: a last timestamp that rounds
+            # back to the window start would re-decode the identical
+            # window forever (greedy decode is deterministic) — fall
+            # back to a full-window advance, as the reference does when
+            # no usable timestamp exists
+            seek = new_seek if new_seek > seek else end
         return segments
 
 
@@ -130,6 +135,7 @@ def make_transcriber(
     config = config or WhisperConfig.tiny()
     enc_params = dec_params = None
     checkpoint_path = checkpoint_path or os.environ.get("LATENTSYNC_WHISPER_CKPT")
+    random_weights = True
     if checkpoint_path and os.path.isfile(checkpoint_path):
         from ..models.whisper_decoder import convert_whisper_decoder
         from ..utils.convert import convert_whisper_encoder, load_torch_state_dict
@@ -137,7 +143,21 @@ def make_transcriber(
         state, _ = load_torch_state_dict(checkpoint_path)
         enc_params = convert_whisper_encoder(state)
         dec_params = convert_whisper_decoder(state)
+        random_weights = False
+    else:
+        import warnings
+
+        warnings.warn(
+            "make_transcriber: no whisper checkpoint found "
+            f"(LATENTSYNC_WHISPER_CKPT={checkpoint_path!r}) — encoder/"
+            "decoder are RANDOMLY initialized and transcripts will be "
+            "gibberish. Set the env var to a whisper .pt checkpoint "
+            "(docs/weights.md).",
+            stacklevel=2,
+        )
     tok = get_tokenizer(multilingual=True, vocab_path=vocab_path,
                         language=language)
-    return WhisperTranscriber(config, enc_params, dec_params, tok,
-                              language=language)
+    t = WhisperTranscriber(config, enc_params, dec_params, tok,
+                           language=language)
+    t.random_weights = random_weights
+    return t

@@ -67,8 +67,12 @@ def _transport_is_fast(threshold_mb_s: float = 200.0) -> bool:
         return False
     try:
         probe = np.zeros(4 * 1024 * 1024, np.uint8)
-        # warm the dispatch path so the measurement is pure transfer
-        np.asarray(jnp.asarray(probe[:1024])[:1])
+        # warm BOTH the dispatch path and the slice-program compile at
+        # the measured shape — a first-touch compile of the 4M-element
+        # slice inside the timed window would otherwise be billed as
+        # transfer time and could misroute fast hardware to the host
+        # restore path
+        np.asarray(jnp.asarray(probe)[:1])
         t0 = time.perf_counter()
         dev = jnp.asarray(probe)
         np.asarray(dev[:1])  # fetch forces the upload to complete
@@ -143,6 +147,15 @@ class LipsyncPipeline:
     # jitted device programs (cached per shape bucket)
     # ------------------------------------------------------------------
 
+    @staticmethod
+    def _chunk_plan(n: int, chunk: int):
+        """Single source of the chunking policy shared by the VAE
+        encode/decode paths: fixed-size chunks bound compile variants;
+        small batches round up to a power-of-two bucket so serving
+        reuses a handful of compiled programs. Returns (size, pad)."""
+        size = min(_bucket(n), chunk) if n <= chunk else chunk
+        return size, (-n) % size
+
     def _vae_encode(self, images: jnp.ndarray, chunk: int = 64) -> jnp.ndarray:
         """(N, H, W, 3) in [-1,1] → scaled latents (N, h, w, 4), batched in
         fixed-size chunks to bound compile variants. Deterministic (mode)
@@ -158,10 +171,7 @@ class LipsyncPipeline:
 
             self._encode_jit["fn"] = enc
         n = images.shape[0]
-        # pad small batches up to a power-of-two bucket so serving reuses a
-        # handful of compiled programs instead of one per clip length
-        size = min(_bucket(n), chunk) if n <= chunk else chunk
-        pad = (-n) % size
+        size, pad = self._chunk_plan(n, chunk)
         x = jnp.pad(images, ((0, pad), (0, 0), (0, 0), (0, 0))) if pad else images
         outs = [
             self._encode_jit["fn"](self.vae_params, x[i : i + size])
@@ -197,8 +207,7 @@ class LipsyncPipeline:
             self._encode_jit[key] = enc2
         fn = self._encode_jit[key]
         n = faces_u8.shape[0]
-        size = min(_bucket(n), chunk) if n <= chunk else chunk
-        pad = (-n) % size
+        size, pad = self._chunk_plan(n, chunk)
         f = np.concatenate([faces_u8, np.repeat(faces_u8[-1:], pad, axis=0)]) \
             if pad else faces_u8
         if not shared and pad:
@@ -242,8 +251,7 @@ class LipsyncPipeline:
         the composite saves)."""
         fn = self._get_decode_fn(as_uint8)
         n = latents.shape[0]
-        size = min(_bucket(n), chunk) if n <= chunk else chunk
-        pad = (-n) % size
+        size, pad = self._chunk_plan(n, chunk)
         z = jnp.pad(latents, ((0, pad), (0, 0), (0, 0), (0, 0))) if pad else latents
         outs = [
             fn(self.vae_params, z[i : i + size])
@@ -259,8 +267,7 @@ class LipsyncPipeline:
         composite/restore of chunk i overlaps device decode of i+1."""
         fn = self._get_decode_fn(as_uint8)
         n = latents.shape[0]
-        size = min(_bucket(n), chunk) if n <= chunk else chunk
-        pad = (-n) % size
+        size, pad = self._chunk_plan(n, chunk)
         z = jnp.pad(latents, ((0, pad), (0, 0), (0, 0), (0, 0))) if pad else latents
         pieces = []
         for i in range(0, n + pad, size):
@@ -486,11 +493,20 @@ class LipsyncPipeline:
                     lat_path = os.path.splitext(data_path)[0] + "_latents.npz"
                     if os.path.isfile(lat_path):
                         d = np.load(lat_path)
-                        if (d["masked_lat"].shape[0] == len(faces)
+                        fp_ok = ("fingerprint" in d and str(d["fingerprint"])
+                                 == self._artifact_fingerprint(mask_image))
+                        if (fp_ok
+                                and d["masked_lat"].shape[0] == len(faces)
                                 and int(d["resolution"]) == res
                                 and str(d["mask_mode"]) == cfg.data.mask):
                             face_result["latents"] = (
                                 d["masked_lat"], d["ref_lat"])
+                        else:
+                            print(f"avatar latent artifact {lat_path} is "
+                                  "stale (VAE weights / mask / shape "
+                                  "changed since onboarding) — re-encoding"
+                                  " this request; re-run "
+                                  "precompute_avatar_latents")
                 else:
                     frames = read_video(video_path, change_fps=True, fps=video_fps)
                     faces, boxes, matrices = [], [], []
@@ -764,6 +780,30 @@ class LipsyncPipeline:
             video_path=video_out_path, num_frames=total, elapsed=timings
         )
 
+    def _artifact_fingerprint(self, mask_image) -> str:
+        """Identity of everything the precomputed avatar latents depend
+        on besides the avatar video: VAE weights (tree structure + a
+        content sample of a few leaves — a checkpoint swap changes
+        essentially every leaf) and the mask image. Guards against
+        silently serving latents encoded under different weights/mask."""
+        import hashlib
+
+        h = hashlib.md5()
+        leaves = jax.tree_util.tree_leaves_with_path(self.vae_params)
+        for path, leaf in leaves:
+            h.update(str(path).encode())
+            h.update(str(getattr(leaf, "shape", ())).encode())
+        step = max(1, len(leaves) // 4)
+        for path, leaf in leaves[::step][:4]:
+            try:
+                h.update(np.asarray(
+                    jax.device_get(leaf.ravel()[:16]), np.float32).tobytes())
+            except Exception:  # pragma: no cover — fingerprint best-effort
+                pass
+        if mask_image is not None:
+            h.update(np.ascontiguousarray(mask_image).tobytes())
+        return h.hexdigest()
+
     def precompute_avatar_latents(
         self, data_path: str, mask_image_path: Optional[str] = None,
         height: Optional[int] = None,
@@ -776,10 +816,11 @@ class LipsyncPipeline:
         from ..serving.artifacts import load_affine_bundle
 
         res = height or self.config.data.resolution
+        mask_image = load_fixed_mask(res, mask_image_path)
         faces, _, _ = load_affine_bundle(data_path)
         processor = ImageProcessor(
             res, mask=self.config.data.mask,
-            mask_image=load_fixed_mask(res, mask_image_path),
+            mask_image=mask_image,
             landmark_detector=self.landmark_detector,
         )
         faces_rs = processor.resize_batch(faces)
@@ -792,6 +833,7 @@ class LipsyncPipeline:
             ref_lat=np.asarray(ref_lat, np.float32),
             resolution=res,
             mask_mode=self.config.data.mask,
+            fingerprint=self._artifact_fingerprint(mask_image),
         )
         return lat_path
 
@@ -820,10 +862,13 @@ class LipsyncPipeline:
         jobs = list(jobs)
         q: "queue.Queue" = queue.Queue(maxsize=2)
         err: list = []
+        cancel = threading.Event()
 
         def producer():
             try:
                 for idx, (video_path, audio_path, _) in enumerate(jobs):
+                    if cancel.is_set():
+                        break
                     state = self.prepare(
                         video_path, audio_path, num_frames=num_frames,
                         **prepare_kw,
@@ -833,22 +878,47 @@ class LipsyncPipeline:
                         guidance_scale=guidance_scale,
                         window_batch=window_batch,
                     )  # async dispatch — device arrays, no fetch
-                    q.put((idx, state, latents))
+                    # bounded put that respects cancellation: if the
+                    # consumer died, nothing drains the queue and a
+                    # plain put() would block this thread forever
+                    while not cancel.is_set():
+                        try:
+                            q.put((idx, state, latents), timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
             except Exception as e:  # noqa: BLE001 — surfaced to the consumer
                 err.append(e)
             finally:
-                q.put(None)
+                while True:
+                    try:
+                        q.put(None, timeout=0.5)
+                        break
+                    except queue.Full:
+                        if cancel.is_set():
+                            break
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
         outputs = [None] * len(jobs)
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            idx, state, latents = item
-            outputs[idx] = self.finish(state, latents, jobs[idx][2])
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                idx, state, latents = item
+                outputs[idx] = self.finish(state, latents, jobs[idx][2])
+        finally:
+            # a finish() failure must not strand the producer mid-batch:
+            # signal it to stop preparing/dispatching the remaining
+            # clips and drain so its pending put can complete
+            cancel.set()
+            while True:
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join()
         if err:
             raise err[0]
         return outputs

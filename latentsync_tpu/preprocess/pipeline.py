@@ -130,12 +130,21 @@ def content_scores(frames: np.ndarray) -> np.ndarray:
     """Per-frame content score: the mean absolute per-channel HSV delta
     between consecutive frames, channels averaged — pyscenedetect
     ContentDetector's frame score with default component weights
-    (hue/sat/lum 1.0 each, edges 0). scores[0] = 0."""
+    (hue/sat/lum 1.0 each, edges 0). scores[0] = 0.
+
+    Frames are subsampled to ~256 px wide first, exactly like
+    pyscenedetect's default auto-downscale (factor = width // 256,
+    plain stride slicing) — the reference detector scores downscaled
+    frames, and full-res HSV over 1080p would be ~25× the pixel work
+    for no extra fidelity."""
     import cv2
 
+    factor = max(1, frames.shape[2] // 256) if frames.ndim == 4 else 1
     scores = np.zeros(len(frames), np.float64)
     prev = None
     for i, frame in enumerate(frames):
+        if factor > 1:
+            frame = frame[::factor, ::factor]
         hsv = cv2.cvtColor(frame, cv2.COLOR_RGB2HSV).astype(np.int16)
         if prev is not None:
             scores[i] = np.abs(hsv - prev).mean(axis=(0, 1)).mean()

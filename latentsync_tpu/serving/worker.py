@@ -68,7 +68,15 @@ def _default_transcriber():
     via $LATENTSYNC_WHISPER_CKPT / $LATENTSYNC_WHISPER_VOCAB (the
     reference shells out to an external whisper binary here,
     ref:whisper.ts:15-40); None when unconfigured."""
-    if not os.environ.get("LATENTSYNC_WHISPER_VOCAB"):
+    vocab = os.environ.get("LATENTSYNC_WHISPER_VOCAB")
+    ckpt = os.environ.get("LATENTSYNC_WHISPER_CKPT")
+    if not vocab or not ckpt or not os.path.isfile(ckpt):
+        # both assets are required: with the vocab alone the models
+        # random-init and subtitles silently come out as gibberish
+        if vocab or ckpt:
+            print("in-repo transcriber unconfigured: need BOTH "
+                  "LATENTSYNC_WHISPER_VOCAB and LATENTSYNC_WHISPER_CKPT "
+                  f"(vocab={vocab!r}, ckpt={ckpt!r}) — subtitles disabled")
         return None
     try:
         from ..audio.transcribe import make_transcriber

@@ -181,27 +181,31 @@ class OptionTrainer:
         d_opt = self.d_tx.init(d_params)
         metrics: Dict[str, float] = {}
         t0 = time.time()
-        for step in range(1, steps + 1):
-            if batch_fn is not None:
-                batch = batch_fn(step)
-            else:
-                samples = [self.source.sample() for _ in range(self.batch_size)]
-                batch = {k: jnp.asarray(np.stack([s[k] for s in samples]))
-                         for k in ("lq", "gt")}
-            if self.stage == "code":
-                g_params, g_opt, m = step2(g_params, g_opt, batch)
-            else:
-                g_params, d_params, g_opt, d_opt, m = step_fn(
-                    g_params, d_params, g_opt, d_opt, batch)
-            if self.ema_decay:
-                ema_params = ema_update(ema_params, g_params, self.ema_decay)
-            metrics = {k: float(v) for k, v in m.items()}
-            if step % log_every == 0 or step == steps:
-                logger(step, {
-                    "iters_per_sec": round(step / (time.time() - t0), 3),
-                    **metrics,
-                })
-        logger.close()
+        try:
+            for step in range(1, steps + 1):
+                if batch_fn is not None:
+                    batch = batch_fn(step)
+                else:
+                    samples = [self.source.sample() for _ in range(self.batch_size)]
+                    batch = {k: jnp.asarray(np.stack([s[k] for s in samples]))
+                             for k in ("lq", "gt")}
+                if self.stage == "code":
+                    g_params, g_opt, m = step2(g_params, g_opt, batch)
+                else:
+                    g_params, d_params, g_opt, d_opt, m = step_fn(
+                        g_params, d_params, g_opt, d_opt, batch)
+                if self.ema_decay:
+                    ema_params = ema_update(ema_params, g_params, self.ema_decay)
+                metrics = {k: float(v) for k, v in m.items()}
+                if step % log_every == 0 or step == steps:
+                    logger(step, {
+                        "iters_per_sec": round(step / (time.time() - t0), 3),
+                        **metrics,
+                    })
+        finally:
+            # a crash (OOM, NaN guard) must not abandon the tb/wandb
+            # writer with its last events unflushed
+            logger.close()
         if output_dir:
             save_checkpoint(output_dir, steps,
                             ema_params if ema_params is not None else g_params)

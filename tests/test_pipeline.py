@@ -279,3 +279,40 @@ def test_avatar_latent_cache_matches_request_time_encode(
     a = read_video(out_nocache, change_fps=False)
     b = read_video(out_cached, change_fps=False)
     assert a.shape == b.shape
+
+
+def test_run_pipelined_consumer_failure_stops_producer(
+        tiny_pipeline, tmp_path, rng, monkeypatch):
+    """A finish() failure must propagate AND not strand the producer
+    thread mid-batch (blocked on the full queue with clips still being
+    prepared) — the consumer signals cancellation and joins it."""
+    import threading
+
+    import cv2
+
+    from latentsync_tpu.utils.media import write_audio
+
+    jobs = []
+    for i in range(4):
+        video_path = str(tmp_path / f"cf{i}.mp4")
+        frames = (rng.random((10, 64, 64, 3)) * 200 + 30).astype(np.uint8)
+        w = cv2.VideoWriter(video_path, cv2.VideoWriter_fourcc(*"mp4v"), 25,
+                            (64, 64))
+        for fr in frames:
+            w.write(cv2.cvtColor(fr, cv2.COLOR_RGB2BGR))
+        w.release()
+        audio_path = str(tmp_path / f"cf{i}.wav")
+        write_audio(audio_path,
+                    (rng.standard_normal(6400) * 0.05).astype(np.float32))
+        jobs.append((video_path, audio_path, str(tmp_path / f"cfo{i}.mp4")))
+
+    def boom(state, latents, out_path):
+        raise RuntimeError("mux failed")
+
+    monkeypatch.setattr(tiny_pipeline, "finish", boom)
+    before = set(threading.enumerate())
+    with pytest.raises(RuntimeError, match="mux failed"):
+        tiny_pipeline.run_pipelined(jobs, num_frames=4)
+    leaked = [t for t in threading.enumerate()
+              if t not in before and t.is_alive()]
+    assert not leaked, leaked

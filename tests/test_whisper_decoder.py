@@ -193,3 +193,48 @@ def test_whisper_transcriber_end_to_end_random_weights():
     wavfile.write(wav, 16000, (audio * 32767).astype(np.int16))
     uri = generate_subtitles(wav, tr)
     assert uri is None or uri.startswith("data:text/vtt;base64,")
+
+
+def test_transcriber_seek_always_advances(monkeypatch):
+    """A decode whose last timestamp rounds back to the window start
+    must not re-decode the same window forever: the transcriber falls
+    back to a full-window advance (reference behavior when no usable
+    timestamp exists)."""
+    import latentsync_tpu.audio.transcribe as tr_mod
+    from latentsync_tpu.audio.transcribe import WhisperTranscriber
+
+    class _Tok(_StubTok):
+        no_timestamps = 99
+        sot_sequence = (50, 51, 52)
+
+        def encode(self, s):
+            return [98]
+
+        def suppress_set(self):
+            return (0, 1, 2)
+
+        @property
+        def eot(self):
+            return 3
+
+    calls = []
+
+    def pathological_segments(tokens, tok, segment_offset_sec=0.0):
+        calls.append(segment_offset_sec)
+        # end barely past the window start: int(round(end*100)) == seek
+        return [{"start": segment_offset_sec,
+                 "end": segment_offset_sec + 0.004,
+                 "text": "x", "words": []}]
+
+    monkeypatch.setattr(tr_mod, "tokens_to_segments", pathological_segments)
+    cfg = WhisperConfig(
+        n_audio_state=64, n_audio_head=4, n_audio_layer=1,
+        n_vocab=200, n_text_ctx=24, n_text_state=64, n_text_head=4,
+        n_text_layer=1,
+    )
+    tr = WhisperTranscriber(cfg, tokenizer=_Tok())
+    # 65 s → 3 mel windows; pre-fix this loops forever on window 0
+    audio = np.zeros(65 * 16000, np.float32)
+    segs = tr(audio)
+    assert len(segs) == len(calls) == 3
+    assert calls == sorted(set(calls)), "seek must strictly advance"
