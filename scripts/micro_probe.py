@@ -475,6 +475,70 @@ def main():
                 }), flush=True)
             del params
 
+    if which in ("all", "dcread"):
+        # DeepCache read-step cost: full forward vs plain shallow slice
+        # vs encoder-propagation slice (docs/perf_audit.md r03 FLOP cuts)
+        from latentsync_tpu.config import LatentSyncConfig
+        from latentsync_tpu.models.unet3d import UNet3DConditionModel
+        from latentsync_tpu.utils.params import UNET_ZERO_PATHS, cast_floating, fast_init
+
+        ucfg = LatentSyncConfig().unet
+        unet = UNet3DConditionModel(ucfg, dtype=dt)
+        params = cast_floating(
+            fast_init(
+                lambda s, t, a: unet.init(jax.random.PRNGKey(0), s, t, a),
+                jnp.zeros((1, 16, 32, 32, 13)),
+                jnp.zeros((1,), jnp.int32),
+                jnp.zeros((1, 16, 50, 384)),
+                zero_paths=UNET_ZERO_PATHS,
+            ),
+            dt,
+        )
+        b = 2 * W
+        audio = jnp.asarray(rng.standard_normal((b, 16, 50, 384)), dt)
+        tvec = jnp.full((b,), 500, jnp.int32)
+        sample = jnp.asarray(rng.standard_normal((b, 16, 32, 32, 13)), dt)
+        import jax.lax as lax
+
+        for name, kw in (
+            ("full", {}),
+            ("read_plain", dict(cache_depth=1, cache_read=True)),
+            ("read_enc", dict(cache_depth=1, cache_read=True,
+                              cache_encoder=True)),
+        ):
+            cache = ()
+            if kw:
+                _, cache = jax.jit(
+                    lambda p, s: unet.apply(
+                        p, s, tvec, audio, cache_depth=1, cache_read=False,
+                        cache_encoder=kw.get("cache_encoder", False))
+                )(params, sample)
+
+            # cache rides as an ARGUMENT — closing over it would bake
+            # GBs of constants into the lowered HLO (and choke the
+            # remote-compile transport)
+            @jax.jit
+            def run(p, c, y, kw=kw):
+                def one(i, yy):
+                    if kw:
+                        eps, _ = unet.apply(p, yy, tvec, audio,
+                                            deep_cache=c, **kw)
+                    else:
+                        eps = unet.apply(p, yy, tvec, audio)
+                    return jnp.concatenate(
+                        [eps.astype(dt), yy[..., 4:]], axis=-1)
+                return lax.fori_loop(0, 5, one, y)
+
+            out = run(params, cache, sample)
+            fetch_sync(out)
+            t0 = time.perf_counter()
+            for _ in range(3):
+                out = run(params, cache, out)
+            fetch_sync(out)
+            t = (time.perf_counter() - t0) / 15
+            print(json.dumps({"name": f"unet_{name}_b{b}",
+                              "ms": round(t * 1e3, 3)}), flush=True)
+
     if which in ("all", "vae"):
         # VAE encode/decode stage cost at the serving chunk shapes —
         # as denoise shrinks under the FLOP-cut knobs, this stage's
