@@ -397,47 +397,55 @@ class LipsyncPipeline:
                             full, new, w, axis=0), cache, nc)
                 return eps, nc
 
-            def body(j, carry):
-                latents, cache = carry
-                t = steps_d[j]
-                if dc_interval:
-                    read = (j % dc_interval) != 0
-                    if cfg_varies and cfg_lo > 0:
-                        # plain steps before the CFG interval refresh only
-                        # the cond half of the cache, so force a write at
-                        # the interval entry — otherwise the first CFG
-                        # read step would replay a stale/zero uncond half
-                        read = jnp.logical_and(read, j != cfg_lo)
-                    if cfg_varies:
-                        use_cfg = jnp.logical_and(j >= cfg_lo, j < cfg_hi)
-                        eps, cache = jax.lax.cond(
-                            use_cfg,
-                            lambda r: jax.lax.cond(
-                                r, lambda: cfg_step(latents, t, cache, True),
-                                lambda: cfg_step(latents, t, cache, False)),
-                            lambda r: jax.lax.cond(
-                                r, lambda: plain_step(latents, t, cache, True),
-                                lambda: plain_step(latents, t, cache, False)),
-                            read)
-                    else:
-                        step = cfg_step if do_cfg else plain_step
-                        eps, cache = jax.lax.cond(
-                            read,
-                            lambda: step(latents, t, cache, True),
-                            lambda: step(latents, t, cache, False))
-                elif cfg_varies:
-                    use_cfg = jnp.logical_and(j >= cfg_lo, j < cfg_hi)
-                    eps, cache = jax.lax.cond(
-                        use_cfg,
-                        lambda: cfg_step(latents, t, cache, False),
-                        lambda: plain_step(latents, t, cache, False))
-                else:
-                    step = cfg_step if do_cfg else plain_step
-                    eps, cache = step(latents, t, cache, False)
-                return DDIMScheduler.step(eps, latents, at_d[j], ap_d[j]), cache
+            # ---- statically scheduled trajectory ----
+            # Every knob (interval, depth, cfg window) is STATIC at
+            # trace time, so each step's (use_cfg, read) signature is
+            # known here. Earlier versions selected the step variant
+            # with nested lax.cond on a dynamic j — measured at ~30-40
+            # ms PER COND EVALUATION on the tunneled backend (denoise
+            # 1264 ms vs an 800 ms sum of measured step costs,
+            # docs/perf_audit.md "static schedule"). Instead: group
+            # consecutive same-signature steps into segments and run
+            # each segment as a cond-free fori_loop (single steps
+            # inline at a constant j).
+            def step_kind(j: int):
+                use_cfg = do_cfg and (cfg_lo <= j < cfg_hi)
+                read = bool(dc_interval) and (j % dc_interval != 0)
+                if dc_interval and cfg_varies and cfg_lo > 0 and j == cfg_lo:
+                    # plain steps before the CFG interval refresh only
+                    # the cond half of the cache — force a write at the
+                    # interval entry so the first CFG read step never
+                    # replays a stale/zero uncond half
+                    read = False
+                return use_cfg, read
 
-            out, _ = jax.lax.fori_loop(
-                0, num_steps, body, (latents0.astype(jnp.float32), cache0))
+            def body_for(use_cfg: bool, read: bool):
+                step = cfg_step if use_cfg else plain_step
+
+                def body(j, carry):
+                    latents, cache = carry
+                    eps, cache = step(latents, steps_d[j], cache, read)
+                    return (DDIMScheduler.step(eps, latents, at_d[j], ap_d[j]),
+                            cache)
+
+                return body
+
+            segments = []  # (start, end, kind) with kind = (use_cfg, read)
+            for j in range(num_steps):
+                kind = step_kind(j)
+                if segments and segments[-1][2] == kind:
+                    segments[-1][1] = j + 1
+                else:
+                    segments.append([j, j + 1, kind])
+
+            carry = (latents0.astype(jnp.float32), cache0)
+            for start, end, (use_cfg, read) in segments:
+                body = body_for(use_cfg, read)
+                if end - start == 1:
+                    carry = body(start, carry)
+                else:
+                    carry = jax.lax.fori_loop(start, end, body, carry)
+            out, _ = carry
             return out
 
         self._denoise_jit[key] = denoise

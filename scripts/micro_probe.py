@@ -516,13 +516,20 @@ def main():
 
             # cache rides as an ARGUMENT — closing over it would bake
             # GBs of constants into the lowered HLO (and choke the
-            # remote-compile transport)
+            # remote-compile transport). The enc-read output depends
+            # only on (cache, t), so a chained fori_loop would be
+            # LOOP-INVARIANT and XLA hoists the whole body out — the
+            # first version of this probe reported 13.5 ms for an empty
+            # loop. Defeat it: make the cache depend on the iterate via
+            # a free zero-cost mix-in, keeping every iteration live.
             @jax.jit
             def run(p, c, y, kw=kw):
                 def one(i, yy):
                     if kw:
+                        zero = (yy.ravel()[0] * 0).astype(dt)
+                        cc = jax.tree.map(lambda a: a + zero, c)
                         eps, _ = unet.apply(p, yy, tvec, audio,
-                                            deep_cache=c, **kw)
+                                            deep_cache=cc, **kw)
                     else:
                         eps = unet.apply(p, yy, tvec, audio)
                     return jnp.concatenate(
@@ -538,6 +545,63 @@ def main():
             t = (time.perf_counter() - t0) / 15
             print(json.dumps({"name": f"unet_{name}_b{b}",
                               "ms": round(t * 1e3, 3)}), flush=True)
+
+    if which in ("all", "denoise"):
+        # the full 20-step denoise program at the env knobs, standalone —
+        # localizes loop overhead vs the per-step sum (dcread + VAE
+        # probes): total bench time minus this is VAE+bench glue
+        from latentsync_tpu.audio.features import Audio2Feature
+        from latentsync_tpu.config import LatentSyncConfig, WhisperConfig
+        from latentsync_tpu.models.unet3d import UNet3DConditionModel
+        from latentsync_tpu.models.vae import AutoencoderKL
+        from latentsync_tpu.pipelines.lipsync import LipsyncPipeline
+        from latentsync_tpu.utils.params import UNET_ZERO_PATHS, cast_floating, fast_init
+
+        cfg = LatentSyncConfig()
+        lat = cfg.data.resolution // cfg.vae.scale_factor
+        f = cfg.data.num_frames
+        unet = UNet3DConditionModel(cfg.unet, dtype=dt)
+        up = cast_floating(
+            fast_init(
+                lambda s, t, a: unet.init(jax.random.PRNGKey(0), s, t, a),
+                jnp.zeros((1, f, lat, lat, cfg.unet.in_channels)),
+                jnp.zeros((1,), jnp.int32),
+                jnp.zeros((1, f, 50, cfg.unet.cross_attention_dim)),
+                zero_paths=UNET_ZERO_PATHS,
+            ), dt)
+        vae = AutoencoderKL(cfg.vae, dtype=dt)
+        vp = cast_floating(
+            fast_init(
+                lambda x: vae.init(jax.random.PRNGKey(0), x,
+                                   jax.random.PRNGKey(1)),
+                jnp.zeros((1, cfg.data.resolution, cfg.data.resolution, 3)),
+                seed=1), dt)
+        pipe = LipsyncPipeline(up, vp, Audio2Feature(WhisperConfig.tiny()),
+                               cfg, dtype=dt)
+        wW = W // 2 if W >= 2 else 1  # probe W means windows here
+        lat0 = jnp.broadcast_to(
+            jax.random.normal(jax.random.PRNGKey(0), (1, 1, lat, lat, 4)),
+            (wW, f, lat, lat, 4))
+        mask = jnp.ones((wW, f, lat, lat, 1), jnp.float32)
+        masked = jnp.asarray(rng.standard_normal((wW, f, lat, lat, 4)),
+                             jnp.float32)
+        ref = jnp.asarray(rng.standard_normal((wW, f, lat, lat, 4)),
+                          jnp.float32)
+        audio = jnp.asarray(rng.standard_normal((wW, f, 50, 384)), jnp.float32)
+        den = pipe._denoise_fn(20, 1.5, True)
+        out = den(pipe.unet_params, lat0, mask, masked, ref, audio)
+        fetch_sync(out)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out = den(pipe.unet_params, lat0, mask, masked, ref, audio)
+            fetch_sync(out)
+        t = (time.perf_counter() - t0) / 3
+        print(json.dumps({
+            "name": f"denoise20_W{wW}",
+            "knobs": [os.environ.get("LATENTSYNC_DEEPCACHE", ""),
+                      os.environ.get("LATENTSYNC_CFG_INTERVAL", "")],
+            "ms": round(t * 1e3, 3),
+        }), flush=True)
 
     if which in ("all", "vae"):
         # VAE encode/decode stage cost at the serving chunk shapes —
