@@ -30,14 +30,16 @@ def main():
     # DeepCache + encoder propagation + CFG guidance interval are the
     # production inference mode (measured sweep in docs/perf_audit.md
     # "Round-3 FLOP cuts": 2:1:enc 17.4 / 3:1:enc 19.6 / 4:1:enc 21.6 /
-    # 5:1:enc 23.1 fps; same statistical fidelity gate + validation
-    # protocol as int8 — SyncNet conf within 2%, scripts/
-    # validate_fidelity.py runs the gate the moment real weights drop).
-    # 4:1:enc is the default operating point — one notch below the max
-    # measured, deep trunk refreshed 5x per 20-step trajectory.
-    # LATENTSYNC_DEEPCACHE=0 / LATENTSYNC_CFG_INTERVAL="" bench the
-    # exact-trajectory path.
-    os.environ.setdefault("LATENTSYNC_DEEPCACHE", "4:1:enc")
+    # 5:1:enc 23.1 / 4:1:enc:2 30.1 fps; same statistical fidelity gate
+    # + validation protocol as int8 — SyncNet conf within 2%;
+    # `scripts/validate_fidelity.py --ladder` walks these rungs
+    # fastest-first and selects the first that passes the moment real
+    # weights drop). Default operating point: 4:1:enc:2 — reads replay
+    # only up3's last layer + conv_out on the cached features; the
+    # sub-block cut adds no measurable trajectory deviation beyond enc
+    # itself (audit "deviation scaling"). LATENTSYNC_DEEPCACHE=0 /
+    # LATENTSYNC_CFG_INTERVAL="" bench the exact-trajectory path.
+    os.environ.setdefault("LATENTSYNC_DEEPCACHE", "4:1:enc:2")
     os.environ.setdefault("LATENTSYNC_CFG_INTERVAL", "0:0.5")
     from latentsync_tpu.audio.features import Audio2Feature
     from latentsync_tpu.config import LatentSyncConfig, WhisperConfig

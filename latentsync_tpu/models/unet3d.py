@@ -540,7 +540,12 @@ class MidBlock3D(nn.Module):
 
 
 class UpBlock3D(nn.Module):
-    """CrossAttnUpBlock3D / UpBlock3D (ref:unet_blocks.py:519-777)."""
+    """CrossAttnUpBlock3D / UpBlock3D (ref:unet_blocks.py:519-777).
+
+    `start_layer` skips the first layers (their params stay unused —
+    the DeepCache sub-block read path replays a cached mid-block
+    feature instead); `capture_layer` additionally returns the feature
+    entering that layer (the write path's capture point)."""
 
     cfg: UNet3DConfig
     out_channels: int
@@ -549,11 +554,18 @@ class UpBlock3D(nn.Module):
     use_motion_module: bool
     add_upsample: bool
     dtype: jnp.dtype = jnp.float32
+    start_layer: int = 0
+    capture_layer: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, skips, temb, audio_context=None):
         cfg = self.cfg
+        captured = None
         for i in range(self.num_layers):
+            if i < self.start_layer:
+                continue
+            if self.capture_layer is not None and i == self.capture_layer:
+                captured = x
             skip = skips.pop()
             x = jnp.concatenate([x, skip], axis=-1)
             x = ResnetBlock3D(
@@ -576,6 +588,8 @@ class UpBlock3D(nn.Module):
                 )(x)
         if self.add_upsample:
             x = Upsample3D(self.out_channels, dtype=self.dtype, name="upsamplers_0")(x)
+        if self.capture_layer is not None:
+            return x, captured
         return x
 
 
@@ -594,7 +608,8 @@ class UNet3DConditionModel(nn.Module):
     @nn.compact
     def __call__(self, sample, timesteps, encoder_hidden_states=None,
                  deep_cache=None, cache_depth: int = 0,
-                 cache_read: bool = False, cache_encoder: bool = False):
+                 cache_read: bool = False, cache_encoder: bool = False,
+                 cache_sub: int = 0):
         """`cache_depth`/`cache_read` implement DeepCache-style step
         caching over the DDIM trajectory (SyncCache / DeepCache family;
         PAPERS.md): with `cache_depth=d > 0` the call returns
@@ -617,7 +632,13 @@ class UNet3DConditionModel(nn.Module):
         attention dominates the plain read step's time. Read-step output
         then depends on the cached features and t only; the DDIM update
         still integrates it against the CURRENT latents, so the
-        trajectory remains live."""
+        trajectory remains live.
+
+        `cache_sub=k` (enc mode only) moves the cut INSIDE the first
+        executed up block: the cache captures the feature entering its
+        layer k, and a read step replays only layers k.. + conv_out —
+        the sub-block continuation of the interval/depth curve (reads
+        cannot otherwise get cheaper than the whole of up block nb-d)."""
         cfg = self.config
         if jnp.ndim(timesteps) == 0:
             timesteps = jnp.full((sample.shape[0],), timesteps)
@@ -637,6 +658,8 @@ class UNet3DConditionModel(nn.Module):
         nb = len(cfg.block_out_channels)
         shallow_only = bool(cache_depth) and cache_read
         enc = bool(cache_depth) and cache_encoder
+        sub = (min(cache_sub, cfg.layers_per_block)
+               if (bool(cache_depth) and cache_encoder) else 0)
         n_down = (0 if enc else cache_depth) if shallow_only else nb
 
         # down
@@ -696,17 +719,26 @@ class UNet3DConditionModel(nn.Module):
         for i, block_type in enumerate(cfg.up_block_types):
             if shallow_only and i < nb - cache_depth:
                 continue
-            if cache_depth and not cache_read and i == nb - cache_depth:
+            first_cached = bool(cache_depth) and i == nb - cache_depth
+            # sub-block cut: write path captures INSIDE this block via
+            # capture_layer; read path starts at layer `sub`
+            capture = sub if (first_cached and not cache_read and sub) else None
+            if first_cached and not cache_read and capture is None:
                 # with encoder-propagation the remaining (unconsumed)
                 # skips at this point are exactly the shallow-slice set
                 cache_out = (x, tuple(skips)) if enc else x
+            # the last `sub` skips feed only the skipped leading layers
+            enc_keep = (tuple(skips[: len(skips) - sub])
+                        if capture is not None else None)
+            start = sub if (first_cached and shallow_only) else 0
             res = 2 ** (3 - i)
             is_final = i == nb - 1
             use_mm = cfg.use_motion_module and res in cfg.motion_module_resolutions
             n_layers = cfg.layers_per_block + 1
-            block_skips = skips[-n_layers:]
-            skips = skips[:-n_layers]
-            x = UpBlock3D(
+            take = n_layers - start
+            block_skips = skips[-take:] if take else []
+            skips = skips[:-take] if take else skips
+            out = UpBlock3D(
                 cfg,
                 rev_channels[i],
                 n_layers,
@@ -714,8 +746,15 @@ class UNet3DConditionModel(nn.Module):
                 use_motion_module=use_mm,
                 add_upsample=not is_final,
                 dtype=self.dtype,
+                start_layer=start,
+                capture_layer=capture,
                 name=f"up_blocks_{i}",
             )(x, block_skips, emb, encoder_hidden_states)
+            if capture is not None:
+                x, captured = out
+                cache_out = (captured, enc_keep)
+            else:
+                x = out
 
         # out (ref:unet.py:231-241,463-466)
         x = gn_silu(x, cfg.norm_num_groups, cfg.norm_eps,

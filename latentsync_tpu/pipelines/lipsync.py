@@ -281,41 +281,44 @@ class LipsyncPipeline:
         (docs/perf_audit.md "round-3 FLOP cuts"; fidelity gate is
         SyncNet confidence within 2% — BASELINE.md — not bitwise).
 
-        LATENTSYNC_DEEPCACHE="I" or "I:d" or "I:d:enc": DeepCache-style
-          step caching — UNet runs the full trunk every I-th DDIM step
-          and replays the cached deep feature (depth d shallow blocks
-          executed) on the others. The "enc" suffix additionally caches
-          the shallow encoder skips (encoder propagation, Faster
-          Diffusion family) so read steps run only the up blocks +
-          conv_out. Off when unset/empty/"0".
+        LATENTSYNC_DEEPCACHE="I" / "I:d" / "I:d:enc" / "I:d:enc:k":
+          DeepCache-style step caching — UNet runs the full trunk every
+          I-th DDIM step and replays the cached deep feature (depth d
+          shallow blocks executed) on the others. The "enc" suffix
+          additionally caches the shallow encoder skips (encoder
+          propagation, Faster Diffusion family) so read steps run only
+          the up blocks + conv_out; a trailing integer k moves the cut
+          k layers INTO the first executed up block (read = its layers
+          k.. + conv_out). Off when unset/empty/"0".
         LATENTSYNC_CFG_INTERVAL="lo:hi" (fractions of the trajectory):
           the unconditional CFG branch runs only for steps
           lo·N ≤ j < hi·N; outside the interval the UNet runs
           conditional-only at half batch (guidance-interval result of
           Kynkäänniemi et al. 2024). Off when unset/empty.
-        Returns (dc_interval, dc_depth, dc_enc, cfg_lo, cfg_hi)."""
+        Returns (dc_interval, dc_depth, dc_enc, dc_sub, cfg_lo, cfg_hi)."""
         dc = os.environ.get("LATENTSYNC_DEEPCACHE", "")
-        dc_interval, dc_depth, dc_enc = 0, 0, False
+        dc_interval, dc_depth, dc_enc, dc_sub = 0, 0, False, 0
         if dc and dc != "0":
             parts = dc.split(":")
             dc_interval = int(parts[0])
             dc_depth = int(parts[1]) if len(parts) > 1 else 1
             dc_enc = len(parts) > 2 and parts[2] in ("enc", "1")
+            dc_sub = int(parts[3]) if (dc_enc and len(parts) > 3) else 0
             if dc_interval <= 1:
-                dc_interval, dc_depth, dc_enc = 0, 0, False
+                dc_interval, dc_depth, dc_enc, dc_sub = 0, 0, False, 0
         ci = os.environ.get("LATENTSYNC_CFG_INTERVAL", "")
         cfg_lo, cfg_hi = 0, num_steps
         if ci:
             lo_s, hi_s = ci.split(":")
             cfg_lo = int(round(float(lo_s) * num_steps))
             cfg_hi = int(round(float(hi_s) * num_steps))
-        return dc_interval, dc_depth, dc_enc, cfg_lo, cfg_hi
+        return dc_interval, dc_depth, dc_enc, dc_sub, cfg_lo, cfg_hi
 
     def _denoise_fn(self, num_steps: int, guidance: float, do_cfg: bool):
-        dc_interval, dc_depth, dc_enc, cfg_lo, cfg_hi = \
+        dc_interval, dc_depth, dc_enc, dc_sub, cfg_lo, cfg_hi = \
             self._flop_cut_knobs(num_steps)
         key = (num_steps, float(guidance), do_cfg,
-               dc_interval, dc_depth, dc_enc, cfg_lo, cfg_hi)
+               dc_interval, dc_depth, dc_enc, dc_sub, cfg_lo, cfg_hi)
         if key in self._denoise_jit:
             return self._denoise_jit[key]
 
@@ -351,7 +354,8 @@ class LipsyncPipeline:
                     eps, new_cache = unet.apply(
                         params, unet_in, tvec, audio_c,
                         deep_cache=cache_c, cache_depth=dc_depth,
-                        cache_read=read, cache_encoder=dc_enc)
+                        cache_read=read, cache_encoder=dc_enc,
+                        cache_sub=dc_sub)
                     return eps.astype(jnp.float32), new_cache
                 eps = unet.apply(params, unet_in, tvec, audio_c)
                 return eps.astype(jnp.float32), cache_c
@@ -371,7 +375,7 @@ class LipsyncPipeline:
                     lambda p, a, tv, au: unet.apply(
                         p, a, tv, au, deep_cache=None,
                         cache_depth=dc_depth, cache_read=False,
-                        cache_encoder=dc_enc),
+                        cache_encoder=dc_enc, cache_sub=dc_sub),
                     params, in_sd, t_sd, a_sd)
                 cache0 = jax.tree.map(
                     lambda sd: jnp.zeros(sd.shape, sd.dtype), cache_sd)

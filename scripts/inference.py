@@ -121,11 +121,11 @@ def main():
     p.add_argument("--data-path", default=None, help="precomputed affine bundle (.npz)")
     p.add_argument("--window-batch", type=int, default=2)
     p.add_argument("--fast", default=None, nargs="?",
-                   const="int8,deepcache=4:1:enc,cfg=0:0.5",
+                   const="int8,deepcache=4:1:enc:2,cfg=0:0.5",
                    help="fast inference mode (statistically gated — validate "
                         "with scripts/validate_fidelity): comma list of int8 "
                         "/ deepcache=I:d[:enc] / cfg=lo:hi. Bare --fast "
-                        "selects the production operating point (21.6 fps "
+                        "selects the production operating point (30.1 fps "
                         "measured); omit for the exact trajectory (env knobs "
                         "still honored)")
     args = p.parse_args()

@@ -18,6 +18,11 @@ scores both with the evaluation SyncNet (ref:eval/eval_sync_conf.py
 semantics), and exits non-zero if |conf_fast - conf_exact| exceeds
 tolerance * |conf_exact|.
 
+`--ladder` instead walks the measured knob ladder from fastest to
+safest (docs/perf_audit.md sweep) and selects the FIRST configuration
+whose confidence passes the gate — the production operating-point
+picker: render exact once, then step down until a rung passes.
+
 Without real checkpoints the run still exercises the full protocol on
 random weights, but the resulting confidences are meaningless noise —
 the JSON is tagged "weights": "random" so it can never be mistaken for
@@ -30,6 +35,16 @@ import argparse
 import json
 import os
 import sys
+
+# fastest → safest, every rung measured in docs/perf_audit.md
+LADDER = [
+    "int8,deepcache=4:1:enc:2,cfg=0:0.5",   # 30.1 fps/chip
+    "int8,deepcache=4:1:enc:1,cfg=0:0.5",
+    "int8,deepcache=4:1:enc,cfg=0:0.5",     # 21.6
+    "int8,deepcache=3:1:enc,cfg=0:0.5",     # 19.6
+    "int8,deepcache=2:1,cfg=0:0.5",         # 15.7
+    "int8",                                  # 9.5
+]
 
 
 def _set_fast_env(spec: str):
@@ -65,9 +80,13 @@ def main():
     p.add_argument("--whisper-ckpt", default="checkpoints/whisper/tiny.pt")
     p.add_argument("--syncnet-ckpt",
                    default="checkpoints/auxiliary/syncnet_v2.model")
-    p.add_argument("--fast", default="int8,deepcache=2:1,cfg=0:0.5",
-                   help="fast-mode spec: comma list of int8 / deepcache=I:d"
-                        " / cfg=lo:hi")
+    p.add_argument("--fast", default=LADDER[0],
+                   help="fast-mode spec: comma list of int8 / "
+                        "deepcache=I:d[:enc[:k]] / cfg=lo:hi")
+    p.add_argument("--ladder", action="store_true",
+                   help="walk the measured knob ladder fastest-first and "
+                        "select the first configuration that passes the "
+                        "gate (ignores --fast)")
     p.add_argument("--tolerance", type=float, default=0.02,
                    help="relative SyncNet-confidence tolerance (BASELINE.md)")
     p.add_argument("--inference-steps", type=int, default=20)
@@ -82,13 +101,14 @@ def main():
 
     have_weights = os.path.isfile(args.unet_ckpt) and os.path.isfile(args.vae_ckpt)
 
-    outs = {}
-    # fresh pipeline per mode: the knobs are read at denoise-jit build
-    # time and the int8 flag at conv trace time, so reuse would leak the
-    # previous mode's compiled functions
-    for mode, setup in (("exact", _clear_fast_env),
-                        ("fast", lambda: _set_fast_env(args.fast))):
-        setup()
+    def render(mode: str, spec: str) -> str:
+        # fresh pipeline per mode: the knobs are read at denoise-jit
+        # build time and the int8 flag at conv trace time, so reuse
+        # would leak the previous mode's compiled functions
+        if spec:
+            _set_fast_env(spec)
+        else:
+            _clear_fast_env()
         pipe = build_pipeline(args)
         out_path = os.path.join(args.workdir, f"{mode}.mp4")
         pipe(
@@ -100,10 +120,10 @@ def main():
             seed=args.seed,
             window_batch=args.window_batch,
         )
-        outs[mode] = out_path
         del pipe
+        _clear_fast_env()
+        return out_path
 
-    _clear_fast_env()
     from latentsync_tpu.eval.sync_eval import SyncNetEvaluator
 
     sync_params = None
@@ -119,21 +139,52 @@ def main():
         sync_params = jax.tree.map(jnp.asarray, convert_syncnet_s(sd))
         sync_weights = "pretrained"
     evaluator = SyncNetEvaluator(sync_params)
-
-    confs = {}
-    for mode, path in outs.items():
-        _offset, _min_dist, conf = evaluator.evaluate(path)
-        confs[mode] = conf
-
-    rel = (abs(confs["fast"] - confs["exact"]) / abs(confs["exact"])
-           if confs["exact"] else float("inf"))
     weights = "pretrained" if (have_weights and sync_weights == "pretrained") \
         else "random"
-    passed = rel <= args.tolerance
+
+    def conf_of(path: str) -> float:
+        _offset, _min_dist, conf = evaluator.evaluate(path)
+        return conf
+
+    conf_exact = conf_of(render("exact", ""))
+
+    def gate(spec: str):
+        conf_fast = conf_of(render("fast", spec))
+        rel = (abs(conf_fast - conf_exact) / abs(conf_exact)
+               if conf_exact else float("inf"))
+        return conf_fast, rel, rel <= args.tolerance
+
+    if args.ladder:
+        rungs = []
+        chosen = None
+        for spec in LADDER:
+            conf_fast, rel, passed = gate(spec)
+            rungs.append({"spec": spec, "conf": round(conf_fast, 4),
+                          "rel_delta": round(rel, 4),
+                          "pass": bool(passed)})
+            if passed:
+                chosen = spec
+                break
+        print(json.dumps({
+            "mode": "ladder",
+            "conf_exact": round(conf_exact, 4),
+            "rungs": rungs,
+            "selected": chosen or "exact",
+            "tolerance": args.tolerance,
+            "weights": weights,
+            "gate": ("PASS" if chosen else "FAIL (exact only)")
+                    if weights == "pretrained"
+                    else "INCONCLUSIVE (random weights)",
+        }))
+        if weights == "pretrained" and chosen is None:
+            sys.exit(1)
+        return
+
+    conf_fast, rel, passed = gate(args.fast)
     print(json.dumps({
         "fast_mode": args.fast,
-        "conf_exact": round(confs["exact"], 4),
-        "conf_fast": round(confs["fast"], 4),
+        "conf_exact": round(conf_exact, 4),
+        "conf_fast": round(conf_fast, 4),
         "rel_delta": round(rel, 4),
         "tolerance": args.tolerance,
         "weights": weights,

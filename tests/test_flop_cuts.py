@@ -119,6 +119,41 @@ def test_deepcache_encoder_read_ignores_sample(unet_and_inputs):
     assert np.array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.parametrize("depth", [1, 2])
+def test_deepcache_subblock_write_matches_base(unet_and_inputs, depth):
+    """Sub-block cut (cache_sub=k): write steps stay bitwise the normal
+    forward; the cache drops the skips consumed by the skipped leading
+    layers of the first executed up block."""
+    model, params, sample, t, audio, base = unet_and_inputs
+    lpb = model.config.layers_per_block
+    sub = lpb  # deepest legal sub-block cut
+    eps, cache = model.apply(params, sample, t, audio,
+                             cache_depth=depth, cache_read=False,
+                             cache_encoder=True, cache_sub=sub)
+    assert np.array_equal(np.asarray(eps), base)
+    deep, skips = cache
+    assert len(skips) == 1 + depth * (lpb + 1) - 1 - sub
+    assert np.isfinite(np.asarray(deep)).all()
+
+
+@pytest.mark.parametrize("depth", [1, 2])
+def test_deepcache_subblock_read_true_cache_matches_base(unet_and_inputs,
+                                                         depth):
+    """Replaying layers k.. of the first up block on the exact cached
+    mid-block feature reproduces the full forward."""
+    model, params, sample, t, audio, base = unet_and_inputs
+    sub = model.config.layers_per_block
+    _, cache = model.apply(params, sample, t, audio,
+                           cache_depth=depth, cache_read=False,
+                           cache_encoder=True, cache_sub=sub)
+    eps, passthrough = model.apply(params, sample, t, audio,
+                                   deep_cache=cache, cache_depth=depth,
+                                   cache_read=True, cache_encoder=True,
+                                   cache_sub=sub)
+    np.testing.assert_allclose(np.asarray(eps), base, rtol=1e-5, atol=1e-5)
+    assert np.array_equal(np.asarray(passthrough[0]), np.asarray(cache[0]))
+
+
 def test_deepcache_read_stale_cache_differs(unet_and_inputs):
     """A stale feature produces a *different* (but finite) output — the
     read path is live, not silently falling back to the full trunk."""
@@ -192,6 +227,7 @@ def _tiny_denoise_inputs(pipe, w=2):
     {"LATENTSYNC_DEEPCACHE": "2:1", "LATENTSYNC_CFG_INTERVAL": "0.2:0.8"},
     {"LATENTSYNC_DEEPCACHE": "2:1:enc"},
     {"LATENTSYNC_DEEPCACHE": "2:1:enc", "LATENTSYNC_CFG_INTERVAL": "0.2:0.8"},
+    {"LATENTSYNC_DEEPCACHE": "2:1:enc:1", "LATENTSYNC_CFG_INTERVAL": "0.2:0.8"},
 ])
 def test_denoise_flop_cut_paths(tiny_pipeline_shared, monkeypatch, env):
     """The full denoise loop runs under each knob combination and lands
@@ -232,12 +268,14 @@ def test_flop_cut_knob_parsing(monkeypatch):
 
     monkeypatch.delenv("LATENTSYNC_DEEPCACHE", raising=False)
     monkeypatch.delenv("LATENTSYNC_CFG_INTERVAL", raising=False)
-    assert LipsyncPipeline._flop_cut_knobs(20) == (0, 0, False, 0, 20)
+    assert LipsyncPipeline._flop_cut_knobs(20) == (0, 0, False, 0, 0, 20)
     monkeypatch.setenv("LATENTSYNC_DEEPCACHE", "3")
-    assert LipsyncPipeline._flop_cut_knobs(20) == (3, 1, False, 0, 20)
+    assert LipsyncPipeline._flop_cut_knobs(20) == (3, 1, False, 0, 0, 20)
     monkeypatch.setenv("LATENTSYNC_DEEPCACHE", "2:2")
     monkeypatch.setenv("LATENTSYNC_CFG_INTERVAL", "0.25:0.75")
-    assert LipsyncPipeline._flop_cut_knobs(20) == (2, 2, False, 5, 15)
+    assert LipsyncPipeline._flop_cut_knobs(20) == (2, 2, False, 0, 5, 15)
+    monkeypatch.setenv("LATENTSYNC_DEEPCACHE", "4:1:enc:2")
+    assert LipsyncPipeline._flop_cut_knobs(20) == (4, 1, True, 2, 5, 15)
     monkeypatch.setenv("LATENTSYNC_DEEPCACHE", "0")
     monkeypatch.setenv("LATENTSYNC_CFG_INTERVAL", "")
     assert LipsyncPipeline._flop_cut_knobs(20)[:2] == (0, 0)

@@ -56,6 +56,27 @@ def test_parsed_spec_matches_pipeline_knob_semantics():
     from latentsync_tpu.pipelines.lipsync import LipsyncPipeline
 
     _set_fast_env("deepcache=2:1,cfg=0:0.5")
-    assert LipsyncPipeline._flop_cut_knobs(20) == (2, 1, False, 0, 10)
+    assert LipsyncPipeline._flop_cut_knobs(20) == (2, 1, False, 0, 0, 10)
     _clear_fast_env()
-    assert LipsyncPipeline._flop_cut_knobs(20) == (0, 0, False, 0, 20)
+    assert LipsyncPipeline._flop_cut_knobs(20) == (0, 0, False, 0, 0, 20)
+
+
+def test_ladder_specs_parse_and_are_ordered():
+    """Every ladder rung must round-trip through the env parser and the
+    pipeline knob parser; rungs go fastest-first (monotone decreasing
+    aggressiveness: interval and sub-cut never increase down the
+    ladder)."""
+    from latentsync_tpu.pipelines.lipsync import LipsyncPipeline
+    from scripts.validate_fidelity import LADDER
+
+    prev = None
+    for spec in LADDER:
+        _set_fast_env(spec)
+        knobs = LipsyncPipeline._flop_cut_knobs(20)
+        interval, depth, enc, sub = knobs[0], knobs[1], knobs[2], knobs[3]
+        assert interval >= 0 and depth >= 0 and sub >= 0
+        key = (interval, int(enc), sub)
+        if prev is not None:
+            assert key <= prev, (spec, key, prev)
+        prev = key
+    _clear_fast_env()
