@@ -30,7 +30,7 @@ def main():
     # DeepCache + encoder propagation + CFG guidance interval are the
     # production inference mode (measured sweep in docs/perf_audit.md
     # "Round-3 FLOP cuts": 2:1:enc 17.4 / 3:1:enc 19.6 / 4:1:enc 21.6 /
-    # 5:1:enc 23.1 / 4:1:enc:2 30.1 fps; same statistical fidelity gate
+    # 5:1:enc 23.1 / 4:1:enc:2 30.1 / 5:1:enc:2 34.9 fps; same statistical fidelity gate
     # + validation protocol as int8 — SyncNet conf within 2%;
     # `scripts/validate_fidelity.py --ladder` walks these rungs
     # fastest-first and selects the first that passes the moment real

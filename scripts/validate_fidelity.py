@@ -38,7 +38,8 @@ import sys
 
 # fastest → safest, every rung measured in docs/perf_audit.md
 LADDER = [
-    "int8,deepcache=4:1:enc:2,cfg=0:0.5",   # 30.1 fps/chip
+    "int8,deepcache=5:1:enc:2,cfg=0:0.5",   # 34.9 fps/chip
+    "int8,deepcache=4:1:enc:2,cfg=0:0.5",   # 30.1
     "int8,deepcache=4:1:enc:1,cfg=0:0.5",
     "int8,deepcache=4:1:enc,cfg=0:0.5",     # 21.6
     "int8,deepcache=3:1:enc,cfg=0:0.5",     # 19.6
