@@ -29,6 +29,7 @@ from ..models.whisper import WhisperEncoder
 from ..models.whisper_decoder import (
     GreedyRules,
     WhisperTextDecoder,
+    beam_decode,
     greedy_decode,
     tokens_to_segments,
 )
@@ -36,6 +37,15 @@ from ..ops.mel import WHISPER_N_FRAMES, pad_or_trim, whisper_log_mel
 
 _SAMPLES_PER_FRAME = 160  # 16 kHz / 100 fps mel hop
 _WINDOW_SEC = 30.0
+
+
+def compression_ratio(text: str) -> float:
+    """(ref:whisper/utils.py:26-27) — high ratios mean degenerate
+    repetition loops."""
+    import zlib
+
+    data = text.encode("utf-8")
+    return len(data) / max(len(zlib.compress(data)), 1)
 
 
 class WhisperTranscriber:
@@ -51,7 +61,16 @@ class WhisperTranscriber:
         tokenizer=None,
         language: str = "en",
         dtype=jnp.float32,
+        beam_size: Optional[int] = None,
+        temperature=(0.0,),
+        compression_ratio_threshold: Optional[float] = 2.4,
+        logprob_threshold: Optional[float] = -1.0,
     ):
+        """beam_size/temperature follow the reference transcribe surface
+        (ref:whisper/transcribe.py:24-27,145-147): beam search at t=0
+        when beam_size is set, sampling at t>0; the temperature tuple is
+        the fallback ladder walked when a decode fails the
+        compression-ratio (> 2.4) or avg-logprob (< −1.0) gate."""
         import jax
 
         self.config = config
@@ -81,6 +100,43 @@ class WhisperTranscriber:
         )
         self._encode = jax.jit(
             lambda p, mel: self.encoder.apply(p, mel, include_embeddings=False))
+        self.beam_size = beam_size
+        self.temperature = ((temperature,) if isinstance(temperature, float)
+                            else tuple(temperature))
+        self.compression_ratio_threshold = compression_ratio_threshold
+        self.logprob_threshold = logprob_threshold
+
+    def _decode_with_fallback(self, feats):
+        """(ref:whisper/transcribe.py decode_with_fallback): walk the
+        temperature ladder; retry when the decode fails the
+        compression-ratio or avg-logprob gate. Beam search applies only
+        at t=0; t>0 samples (ref:transcribe.py:146-147)."""
+        tokens = avg_lp = None
+        for t in self.temperature:
+            if t == 0.0 and self.beam_size:
+                tokens, avg_lp = beam_decode(
+                    self.decoder, self.decoder_params, feats,
+                    self.tokenizer.sot_sequence, self.rules,
+                    beam_size=self.beam_size)
+            else:
+                tokens, avg_lp = greedy_decode(
+                    self.decoder, self.decoder_params, feats,
+                    self.tokenizer.sot_sequence, self.rules,
+                    temperature=float(t), seed=int(t * 10) + 7)
+            needs_fallback = False
+            if self.compression_ratio_threshold is not None:
+                # text tokens only: in the whisper id layout every
+                # special (sot/eot/lang/task/timestamps) is >= eot
+                text = self.tokenizer.decode(
+                    [int(tt) for tt in tokens[0] if tt < self.tokenizer.eot])
+                if compression_ratio(text) > self.compression_ratio_threshold:
+                    needs_fallback = True  # too repetitive
+            if (self.logprob_threshold is not None
+                    and float(avg_lp[0]) < self.logprob_threshold):
+                needs_fallback = True  # average log probability too low
+            if not needs_fallback:
+                break
+        return tokens, avg_lp
 
     def __call__(self, audio_or_path) -> List[Dict]:
         if isinstance(audio_or_path, (str, os.PathLike)):
@@ -98,9 +154,7 @@ class WhisperTranscriber:
             end = min(seek + WHISPER_N_FRAMES, num_frames)
             window = pad_or_trim(mel[:, seek:end], WHISPER_N_FRAMES)
             feats = self._encode(self.encoder_params, window[None])
-            tokens, _ = greedy_decode(
-                self.decoder, self.decoder_params, feats,
-                self.tokenizer.sot_sequence, self.rules)
+            tokens, _ = self._decode_with_fallback(feats)
             offset = seek * _SAMPLES_PER_FRAME / 16000.0
             window_segs = tokens_to_segments(
                 tokens[0], self.tokenizer, segment_offset_sec=offset)

@@ -223,6 +223,48 @@ class GreedyRules:
     use_timestamps: bool = True
 
 
+def _apply_logit_filters(logits, tokens_buf, pos, rules, sample_begin,
+                         suppress_mask):
+    """The reference's logit-filter stack (SuppressTokens, SuppressBlank,
+    ApplyTimestampRules — ref:decoding.py:387-441) as pure jnp masking.
+    logits: (N, vocab); tokens_buf: (N, L); shared by greedy and beam."""
+    vocab = logits.shape[-1]
+    logits = logits + suppress_mask[None, :]
+
+    is_sampling = pos >= sample_begin - 1
+    # SuppressBlank at the first sampled position (ref:decoding.py:392)
+    first = pos == sample_begin - 1
+    blank_mask = jnp.zeros((vocab,)).at[
+        np.array([rules.blank, rules.eot])].set(-jnp.inf)
+    logits = jnp.where(first, logits + blank_mask[None, :], logits)
+
+    if rules.use_timestamps:
+        ts0 = rules.timestamp_begin
+        idx = jnp.arange(vocab)
+        # timestamp pairing (ref:decoding.py:418-428)
+        last = tokens_buf[:, pos]
+        penult = tokens_buf[:, jnp.maximum(pos - 1, 0)]
+        last_ts = (last >= ts0) & (pos >= sample_begin)
+        pen_ts = (penult >= ts0) | (pos - 1 < sample_begin)
+        kill_ts = (last_ts & pen_ts)[:, None] & (idx >= ts0)[None, :]
+        kill_text = (last_ts & ~pen_ts)[:, None] & (idx < rules.eot)[None, :]
+        logits = jnp.where(kill_ts | kill_text, -jnp.inf, logits)
+        # max_initial_timestamp (ref:decoding.py:430-433)
+        if rules.max_initial_timestamp_index is not None:
+            last_allowed = ts0 + rules.max_initial_timestamp_index
+            logits = jnp.where(
+                first & (idx > last_allowed)[None, :], -jnp.inf, logits)
+        # timestamp-sum vs max-text rule (ref:decoding.py:435-441)
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        ts_lp = jax.nn.logsumexp(
+            jnp.where((idx >= ts0)[None, :], lp, -jnp.inf), axis=-1)
+        text_lp = jnp.max(jnp.where((idx < ts0)[None, :], lp, -jnp.inf),
+                          axis=-1)
+        force_ts = (ts_lp > text_lp)[:, None] & (idx < ts0)[None, :]
+        logits = jnp.where(force_ts & is_sampling, -jnp.inf, logits)
+    return logits
+
+
 def greedy_decode(
     decoder: WhisperTextDecoder,
     params,
@@ -230,12 +272,16 @@ def greedy_decode(
     sot_sequence: Sequence[int],
     rules: GreedyRules,
     sample_len: Optional[int] = None,
+    temperature: float = 0.0,
+    seed: int = 0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Greedy transcription of (B, Ta, C) audio features.
 
     Returns (tokens (B, L) int32 including the SOT prompt, with eot
     padding, avg_logprob (B,)). The whole loop — prompt prefill included
-    — is one lax.while_loop under jit."""
+    — is one lax.while_loop under jit. temperature > 0 samples from
+    logits/T instead of argmax (ref:decoding.py:260-263 GreedyDecoder) —
+    the fallback ladder's retry mode (transcribe decode_with_fallback)."""
     cfg = decoder.config
     b = audio_features.shape[0]
     n_ctx = cfg.n_text_ctx
@@ -256,43 +302,16 @@ def greedy_decode(
         tok = tokens_buf[:, pos]
         logits, kc, vc = decoder.apply(
             params, tok, pos, kc, vc, xa_k, xa_v, method="step")
-
-        logits = logits + suppress_mask[None, :]
-
-        is_sampling = pos >= sample_begin - 1
-        # SuppressBlank at the first sampled position (ref:decoding.py:392)
-        first = pos == sample_begin - 1
-        blank_mask = jnp.zeros((vocab,)).at[
-            np.array([rules.blank, rules.eot])].set(-jnp.inf)
-        logits = jnp.where(first, logits + blank_mask[None, :], logits)
-
-        if rules.use_timestamps:
-            ts0 = rules.timestamp_begin
-            idx = jnp.arange(vocab)
-            # timestamp pairing (ref:decoding.py:418-428)
-            last = tokens_buf[:, pos]
-            penult = tokens_buf[:, jnp.maximum(pos - 1, 0)]
-            last_ts = (last >= ts0) & (pos >= sample_begin)
-            pen_ts = (penult >= ts0) | (pos - 1 < sample_begin)
-            kill_ts = (last_ts & pen_ts)[:, None] & (idx >= ts0)[None, :]
-            kill_text = (last_ts & ~pen_ts)[:, None] & (idx < rules.eot)[None, :]
-            logits = jnp.where(kill_ts | kill_text, -jnp.inf, logits)
-            # max_initial_timestamp (ref:decoding.py:430-433)
-            if rules.max_initial_timestamp_index is not None:
-                last_allowed = ts0 + rules.max_initial_timestamp_index
-                logits = jnp.where(
-                    first & (idx > last_allowed)[None, :], -jnp.inf, logits)
-            # timestamp-sum vs max-text rule (ref:decoding.py:435-441)
-            lp = jax.nn.log_softmax(logits, axis=-1)
-            ts_lp = jax.nn.logsumexp(
-                jnp.where((idx >= ts0)[None, :], lp, -jnp.inf), axis=-1)
-            text_lp = jnp.max(jnp.where((idx < ts0)[None, :], lp, -jnp.inf),
-                              axis=-1)
-            force_ts = (ts_lp > text_lp)[:, None] & (idx < ts0)[None, :]
-            logits = jnp.where(force_ts & is_sampling, -jnp.inf, logits)
+        logits = _apply_logit_filters(logits, tokens_buf, pos, rules,
+                                      sample_begin, suppress_mask)
 
         lp = jax.nn.log_softmax(logits, axis=-1)
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if temperature > 0:
+            nxt = jax.random.categorical(
+                jax.random.fold_in(jax.random.PRNGKey(seed), pos),
+                logits / temperature, axis=-1).astype(jnp.int32)
+        else:
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         # inside the prompt: force the next prompt token instead
         in_prompt = pos + 1 < sample_begin
         forced = jnp.asarray(prompt)[jnp.minimum(pos + 1, sample_begin - 1)]
@@ -334,6 +353,190 @@ def greedy_decode(
 
     tokens, avg_lp = run(audio_features)
     return np.asarray(tokens), np.asarray(avg_lp)
+
+
+def beam_decode(
+    decoder: WhisperTextDecoder,
+    params,
+    audio_features: jnp.ndarray,
+    sot_sequence: Sequence[int],
+    rules: GreedyRules,
+    beam_size: int = 5,
+    sample_len: Optional[int] = None,
+    patience: Optional[float] = None,
+    length_penalty: Optional[float] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Beam-search transcription (ref:decoding.py:281-369
+    BeamSearchDecoder + :173-197 MaximumLikelihoodRanker), whole loop
+    under jit.
+
+    Semantics matched to the reference:
+    - per beam, top (beam_size+1) token candidates; merged per audio and
+      scanned in score order, keeping the first beam_size unfinished as
+      the new beams (the +1 covers an eot candidate consuming a slot);
+    - eot candidates encountered before the beam_size-th live one join
+      the finished pool, capped at max_candidates = beam_size·patience;
+    - the reference dedups identical sequences via its dict keying — in
+      practice that only triggers at the first sampled position (all
+      beams start identical), reproduced here by masking beams 1.. at
+      that step;
+    - finalize pads under-full finished pools with the live beams
+      (+eot), then ranks by sum_logprob / length (length_penalty=None →
+      simple length normalization).
+
+    Returns (tokens (B, L) best sequence incl. prompt, avg_logprob (B,)
+    per ref:decoding.py:716-718)."""
+    cfg = decoder.config
+    b = audio_features.shape[0]
+    nb = beam_size
+    n_ctx = cfg.n_text_ctx
+    sample_len = sample_len or n_ctx // 2
+    prompt = np.asarray(sot_sequence, np.int32)
+    sample_begin = len(prompt)
+    total_len = min(n_ctx, sample_begin + sample_len)
+    d = cfg.n_text_state // cfg.n_text_head
+    vocab = cfg.n_vocab
+    max_candidates = int(round(nb * (patience or 1.0)))
+    pool = nb * (nb + 1)
+
+    suppress_mask = np.zeros((vocab,), np.float32)
+    suppress_mask[list(rules.suppress)] = -np.inf
+    if rules.use_timestamps:
+        suppress_mask[rules.no_timestamps] = -np.inf
+    suppress_mask = jnp.asarray(suppress_mask)
+
+    @jax.jit
+    def run(audio_features):
+        # beams ride the batch dim: xa duplicated per beam
+        xa = jnp.repeat(audio_features, nb, axis=0)
+        xa_k, xa_v = decoder.apply(params, xa, method="audio_kv")
+        buf = jnp.full((b, nb, total_len), rules.eot, jnp.int32)
+        buf = buf.at[:, :, :sample_begin].set(jnp.asarray(prompt)[None, None])
+        kc = jnp.zeros((cfg.n_text_layer, b * nb, n_ctx, cfg.n_text_head, d),
+                       audio_features.dtype)
+        vc = jnp.zeros_like(kc)
+        sum_lp = jnp.zeros((b, nb), jnp.float32)
+        fin_tok = jnp.full((b, max_candidates, total_len), rules.eot,
+                           jnp.int32)
+        fin_lp = jnp.full((b, max_candidates), -jnp.inf, jnp.float32)
+        fin_cnt = jnp.zeros((b,), jnp.int32)
+
+        def cond(state):
+            pos = state[0]
+            fin_cnt = state[7]
+            return (pos < total_len - 1) & ~jnp.all(fin_cnt >= max_candidates)
+
+        def body(state):
+            pos, buf, kc, vc, sum_lp, fin_tok, fin_lp, fin_cnt = state
+            flat = buf.reshape(b * nb, total_len)
+            tok = flat[:, pos]
+            logits, kc, vc = decoder.apply(
+                params, tok, pos, kc, vc, xa_k, xa_v, method="step")
+
+            in_prompt = pos + 1 < sample_begin
+            first = pos == sample_begin - 1
+
+            logits = _apply_logit_filters(logits, flat, pos, rules,
+                                          sample_begin, suppress_mask)
+            lp = jax.nn.log_softmax(logits, axis=-1)          # (b·nb, V)
+            top_lp, top_tok = jax.lax.top_k(lp, nb + 1)       # (b·nb, nb+1)
+            cand = sum_lp.reshape(b * nb, 1) + top_lp
+            # first sampled position: all beams identical — keep beam 0
+            # only (the reference's dict dedup, see docstring)
+            beam_of = jnp.tile(jnp.arange(nb), b).reshape(b * nb, 1)
+            cand = jnp.where(first & (beam_of > 0), -jnp.inf, cand)
+
+            cand = cand.reshape(b, pool)
+            ctok = top_tok.reshape(b, pool)
+            csrc = jnp.repeat(jnp.arange(nb), nb + 1)[None, :]  # beam idx
+            csrc = jnp.broadcast_to(csrc, (b, pool))
+
+            order = jnp.argsort(-cand, axis=-1)
+            cand_s = jnp.take_along_axis(cand, order, axis=-1)
+            ctok_s = jnp.take_along_axis(ctok, order, axis=-1)
+            csrc_s = jnp.take_along_axis(csrc, order, axis=-1)
+
+            is_eot = ctok_s == rules.eot
+            live_cum = jnp.cumsum((~is_eot).astype(jnp.int32), axis=-1)
+            # new beam k = first pool position with live_cum == k+1
+            tgt = jnp.arange(1, nb + 1)
+            pick = jax.vmap(
+                lambda lc: jnp.searchsorted(lc, tgt, side="left"))(live_cum)
+            new_tok = jnp.take_along_axis(ctok_s, pick, axis=-1)
+            new_src = jnp.take_along_axis(csrc_s, pick, axis=-1)
+            new_lp = jnp.take_along_axis(cand_s, pick, axis=-1)
+
+            # finished candidates: eot seen before the nb-th live pick
+            keep_fin = is_eot & (live_cum < nb) & ~in_prompt & \
+                jnp.isfinite(cand_s)
+            fin_rank = jnp.cumsum(keep_fin.astype(jnp.int32), axis=-1) - 1
+            slot = fin_cnt[:, None] + fin_rank
+            ok = keep_fin & (slot < max_candidates)
+            bidx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, pool))
+            flat_slot = jnp.where(ok, bidx * max_candidates + slot,
+                                  b * max_candidates)
+            fin_lp = fin_lp.reshape(-1).at[flat_slot.reshape(-1)].set(
+                cand_s.reshape(-1), mode="drop").reshape(b, max_candidates)
+            # finished sequence = its source beam's buffer (eot-padded)
+            src_rows = jnp.take_along_axis(
+                buf, csrc_s[:, :, None], axis=1)         # (b, pool, L)
+            fin_tok = fin_tok.reshape(-1, total_len).at[
+                flat_slot.reshape(-1)].set(
+                src_rows.reshape(-1, total_len), mode="drop"
+            ).reshape(b, max_candidates, total_len)
+            fin_cnt = jnp.minimum(
+                fin_cnt + jnp.sum(keep_fin, axis=-1), max_candidates)
+
+            # prompt phase: force the prompt token on every beam, no
+            # reordering, scores unchanged
+            forced = jnp.asarray(prompt)[jnp.minimum(pos + 1,
+                                                     sample_begin - 1)]
+            ident = jnp.broadcast_to(jnp.arange(nb)[None], (b, nb))
+            new_src = jnp.where(in_prompt, ident, new_src)
+            new_tok = jnp.where(in_prompt, forced, new_tok)
+            new_lp = jnp.where(in_prompt, sum_lp, new_lp)
+
+            # reorder beams: token buffers and kv caches follow src
+            buf = jnp.take_along_axis(buf, new_src[:, :, None], axis=1)
+            buf = buf.at[:, :, pos + 1].set(new_tok)
+            flat_src = (jnp.arange(b)[:, None] * nb + new_src).reshape(-1)
+            kc = kc[:, flat_src]
+            vc = vc[:, flat_src]
+            return (pos + 1, buf, kc, vc, new_lp, fin_tok, fin_lp, fin_cnt)
+
+        state = (0, buf, kc, vc, sum_lp, fin_tok, fin_lp, fin_cnt)
+        _, buf, _, _, sum_lp, fin_tok, fin_lp, fin_cnt = jax.lax.while_loop(
+            cond, body, state)
+        return buf, sum_lp, fin_tok, fin_lp, fin_cnt
+
+    buf, sum_lp, fin_tok, fin_lp, fin_cnt = map(np.asarray,
+                                                run(audio_features))
+
+    # finalize + rank on host (ref:decoding.py:352-369, 173-197)
+    out_tokens = np.full((b, total_len), rules.eot, np.int32)
+    out_avg_lp = np.zeros((b,), np.float32)
+    for i in range(b):
+        seqs = [fin_tok[i, j] for j in range(int(fin_cnt[i]))]
+        lps = [float(fin_lp[i, j]) for j in range(int(fin_cnt[i]))]
+        if len(seqs) < beam_size:  # pad with live beams + eot
+            for j in np.argsort(-sum_lp[i]):
+                seqs.append(buf[i, j])
+                lps.append(float(sum_lp[i, j]))
+                if len(seqs) >= beam_size:
+                    break
+        def _len(seq):
+            body_ = seq[sample_begin:]
+            eots = np.nonzero(body_ == rules.eot)[0]
+            return int(eots[0]) if len(eots) else len(body_)
+        if length_penalty is None:
+            scores = [lp / max(_len(s), 1) for s, lp in zip(seqs, lps)]
+        else:
+            scores = [lp / (((5 + _len(s)) / 6) ** length_penalty)
+                      for s, lp in zip(seqs, lps)]
+        best = int(np.argmax(scores))
+        out_tokens[i] = seqs[best]
+        out_avg_lp[i] = lps[best] / (_len(seqs[best]) + 1)
+    return out_tokens, out_avg_lp
 
 
 # ---------------------------------------------------------------------------

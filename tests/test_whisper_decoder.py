@@ -238,3 +238,132 @@ def test_transcriber_seek_always_advances(monkeypatch):
     segs = tr(audio)
     assert len(segs) == len(calls) == 3
     assert calls == sorted(set(calls)), "seek must strictly advance"
+
+
+# ---------------------------------------------------------------------------
+# beam search — parity against a torch oracle of the reference decoder
+# (ref:decoding.py:281-369 BeamSearchDecoder, :173-197 ranker)
+# ---------------------------------------------------------------------------
+
+
+def _torch_beam_oracle(tdec, xa, prompt, *, beam_size, eot, suppress,
+                       blank, sample_len, patience=None,
+                       length_penalty=None):
+    """Reference beam-search semantics on the torch decoder, written as
+    the plain dict/loop bookkeeping the reference uses; timestamps off
+    (ApplyTimestampRules has its own greedy tests). Full teacher-forced
+    forward per step (no kv cache — equivalence is covered by
+    test_decoder_step_matches_full_forward). Returns the ranked best
+    token list (sample_begin..eot) per audio."""
+    import torch.nn.functional as tF
+
+    n_audio = xa.shape[0]
+    nb = beam_size
+    max_candidates = int(round(nb * (patience or 1.0)))
+    sample_begin = len(prompt)
+    tokens = torch.tensor([list(prompt)]).repeat(n_audio, 1)
+    tokens = tokens.repeat_interleave(nb, dim=0)
+    xa_rep = xa.repeat_interleave(nb, dim=0)
+    sum_lp = torch.zeros(n_audio * nb)
+    finished = [{} for _ in range(n_audio)]
+
+    for step in range(sample_len):
+        with torch.no_grad():
+            logits = tdec(tokens, xa_rep)[:, -1].float()
+        if tokens.shape[1] == sample_begin:          # SuppressBlank
+            logits[:, [blank, eot]] = -np.inf
+        logits[:, list(suppress)] = -np.inf
+        lp = tF.log_softmax(logits, dim=-1)
+
+        new_rows, new_lp = [], []
+        for i in range(n_audio):
+            scores, sources = {}, {}
+            for j in range(nb):
+                idx = i * nb + j
+                prefix = tokens[idx].tolist()
+                top = lp[idx].topk(nb + 1)
+                for val, tok in zip(top.values, top.indices):
+                    seq = tuple(prefix + [int(tok)])
+                    scores[seq] = float(sum_lp[idx] + val)
+                    sources[seq] = idx
+            fresh, saved = {}, 0
+            for seq in sorted(scores, key=scores.get, reverse=True):
+                if seq[-1] == eot:
+                    fresh[seq] = scores[seq]
+                else:
+                    new_rows.append(list(seq))
+                    new_lp.append(scores[seq])
+                    saved += 1
+                    if saved == nb:
+                        break
+            for seq in sorted(fresh, key=fresh.get, reverse=True):
+                if len(finished[i]) >= max_candidates:
+                    break
+                finished[i][seq] = fresh[seq]
+        tokens = torch.tensor(new_rows)
+        sum_lp = torch.tensor(new_lp)
+        if all(len(f) >= max_candidates for f in finished):
+            break
+
+    # finalize: top up under-full pools from live beams (+eot)
+    sum_lp = sum_lp.reshape(n_audio, nb)
+    tokens = tokens.reshape(n_audio, nb, -1)
+    best = []
+    for i in range(n_audio):
+        pool = dict(finished[i])
+        if len(pool) < nb:
+            for j in np.argsort(-sum_lp[i].numpy()):
+                pool[tuple(tokens[i, j].tolist()) + (eot,)] = float(
+                    sum_lp[i, j])
+                if len(pool) >= nb:
+                    break
+        seqs = [list(s[sample_begin:s.index(eot, sample_begin)])
+                for s in pool]
+        lps = list(pool.values())
+        scores = []
+        for s, l in zip(seqs, lps):
+            pen = (len(s) if length_penalty is None
+                   else ((5 + len(s)) / 6) ** length_penalty)
+            scores.append(l / max(pen, 1e-9))
+        best.append(seqs[int(np.argmax(scores))])
+    return best
+
+
+@pytest.mark.parametrize("beam_size", [2, 3])
+def test_beam_decode_matches_torch_oracle(beam_size):
+    from latentsync_tpu.models.whisper_decoder import beam_decode
+
+    t, f, params = _pair()
+    rng = np.random.default_rng(11)
+    xa_np = rng.standard_normal((2, 9, TINY.n_text_state)).astype(
+        np.float32) * 0.3
+    rules = _rules(use_timestamps=False)
+    sot = (10, 11, 12)
+
+    want = _torch_beam_oracle(
+        t, torch.from_numpy(xa_np), sot, beam_size=beam_size,
+        eot=rules.eot, suppress=rules.suppress, blank=rules.blank,
+        sample_len=10)
+
+    tokens, avg_lp = beam_decode(f, params, jnp.asarray(xa_np), sot,
+                                 rules, beam_size=beam_size, sample_len=10)
+    for i in range(2):
+        row = tokens[i, len(sot):].tolist()
+        got = row[:row.index(rules.eot)] if rules.eot in row else row
+        assert got == want[i], f"audio {i}: {got} != {want[i]}"
+    assert np.isfinite(avg_lp).all()
+
+
+def test_beam_decode_beats_or_ties_greedy_sum_logprob():
+    """Beam search must never rank below greedy on its own objective."""
+    from latentsync_tpu.models.whisper_decoder import beam_decode
+
+    _, f, params = _pair()
+    rng = np.random.default_rng(12)
+    xa = jnp.asarray(rng.standard_normal((1, 9, TINY.n_text_state)),
+                     jnp.float32) * 0.5
+    rules = _rules(use_timestamps=False)
+    gt, g_lp = greedy_decode(f, params, xa, (10,), rules, sample_len=10)
+    bt, b_lp = beam_decode(f, params, xa, (10,), rules, beam_size=3,
+                           sample_len=10)
+    assert float(b_lp[0]) >= float(g_lp[0]) - 1e-4
