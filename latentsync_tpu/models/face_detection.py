@@ -413,3 +413,31 @@ class FANLandmarkDetector:
         lm[:, 0] = lm[:, 0] * (x2 - x1) / 256.0 + x1
         lm[:, 1] = lm[:, 1] * (y2 - y1) / 256.0 + y1
         return lm
+
+
+def init_detection_model(model_name: str, params=None, dtype=None):
+    """Detector factory matching the reference's four names
+    (ref:facelib/detection/__init__.py:14-51 init_detection_model →
+    init_retinaface_model / init_yolov5face_model): returns an object
+    with .detect(image_rgb) → (N, 15) rows [x1,y1,x2,y2,conf,5·(lx,ly)].
+
+    The reference restoration default is 'retinaface_resnet50'
+    (ref:facelib/utils/face_restoration_helper.py:61)."""
+    import jax.numpy as jnp
+
+    dtype = jnp.float32 if dtype is None else dtype
+    if "retinaface" in model_name:
+        from .retinaface import RetinaFaceDetector
+
+        if model_name not in ("retinaface_resnet50", "retinaface_mobile0.25"):
+            raise NotImplementedError(f"{model_name} is not implemented.")
+        return RetinaFaceDetector(params=params, dtype=dtype,
+                                  network=model_name)
+    if "YOLOv5" in model_name:
+        from .yolov5face import YOLOv5FaceDetector
+
+        if model_name not in ("YOLOv5l", "YOLOv5n"):
+            raise NotImplementedError(f"{model_name} is not implemented.")
+        return YOLOv5FaceDetector(params=params, dtype=dtype,
+                                  network=model_name)
+    raise NotImplementedError(f"{model_name} is not implemented.")

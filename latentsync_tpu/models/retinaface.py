@@ -45,7 +45,11 @@ def conv_dw(x, ch, stride, name, dtype):
 
 
 class SSH(nn.Module):
-    """Context module: 3×3 + 5×5 + 7×7 receptive branches."""
+    """Context module: 3×3 + 5×5 + 7×7 receptive branches.
+
+    `leaky` follows ref:facelib/detection/retinaface/retinaface_net.py:41
+    — 0.1 only when out_channel ≤ 64 (MobileNet config), plain ReLU for
+    the ResNet50 config's 256 channels."""
 
     out_channel: int
     dtype: jnp.dtype = jnp.float32
@@ -54,13 +58,14 @@ class SSH(nn.Module):
     def __call__(self, x):
         half = self.out_channel // 2
         quarter = self.out_channel // 4
+        leaky = 0.1 if self.out_channel <= 64 else 0.0
 
         def cbn(x, ch, name, act=True):
             x = nn.Conv(ch, (3, 3), padding=1, use_bias=False,
                         dtype=self.dtype, name=f"{name}_conv")(x)
             x = nn.BatchNorm(use_running_average=True, dtype=jnp.float32,
                              name=f"{name}_bn")(x)
-            return jax.nn.leaky_relu(x, 0.1) if act else x
+            return jax.nn.leaky_relu(x, leaky) if act else x
 
         c3 = cbn(x, half, "conv3x3", act=False)
         c5_1 = cbn(x, quarter, "conv5x5_1")
@@ -128,6 +133,58 @@ class RetinaFaceMobile(nn.Module):
         return outputs
 
 
+class RetinaFaceResNet50(nn.Module):
+    """ResNet50 RetinaFace — the restoration stack's DEFAULT detector
+    (ref:facelib/utils/face_restoration_helper.py:61 det_model=
+    'retinaface_resnet50'; built in ref:facelib/detection/retinaface/
+    retinaface.py:69-97 from torchvision resnet50 layers 2/3/4 with
+    in_channel=256, out_channel=256). FPN/SSH use plain ReLU (leaky=0
+    at 256 channels, ref:retinaface_net.py:41,70-72). Input (B, H, W, 3)
+    BGR-mean-subtracted; returns per-level (cls, box, landmark) heads."""
+
+    out_channel: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from .hyper_iqa import ResNet50Backbone
+
+        d = self.dtype
+        x = x.astype(d)
+        # torchvision resnet50: layer2 (512, stride 8), layer3 (1024,
+        # stride 16), layer4 (2048, stride 32)
+        _, c1, c2, c3 = ResNet50Backbone(dtype=d, name="body")(x)
+
+        def lateral(x, name):
+            x = nn.Conv(self.out_channel, (1, 1), use_bias=False, dtype=d,
+                        name=f"{name}_conv")(x)
+            x = nn.BatchNorm(use_running_average=True, dtype=jnp.float32,
+                             name=f"{name}_bn")(x)
+            return nn.relu(x)
+
+        p3 = lateral(c3, "fpn_out3")
+        p2 = lateral(c2, "fpn_out2")
+        p1 = lateral(c1, "fpn_out1")
+        b, h2, w2, _ = p2.shape
+        p2 = p2 + jax.image.resize(p3, (b, h2, w2, self.out_channel), "nearest")
+        p2 = conv_bn(p2, self.out_channel, 1, "fpn_merge2", d, leaky=0.0)
+        b, h1, w1, _ = p1.shape
+        p1 = p1 + jax.image.resize(p2, (b, h1, w1, self.out_channel), "nearest")
+        p1 = conv_bn(p1, self.out_channel, 1, "fpn_merge1", d, leaky=0.0)
+
+        feats = [
+            SSH(self.out_channel, dtype=d, name=f"ssh{i + 1}")(p)
+            for i, p in enumerate((p1, p2, p3))
+        ]
+        outputs = []
+        for i, f in enumerate(feats):
+            cls = nn.Conv(2 * 2, (1, 1), dtype=d, name=f"class_head_{i}")(f)
+            box = nn.Conv(2 * 4, (1, 1), dtype=d, name=f"bbox_head_{i}")(f)
+            ldm = nn.Conv(2 * 10, (1, 1), dtype=d, name=f"ldm_head_{i}")(f)
+            outputs.append((cls, box, ldm))
+        return outputs
+
+
 def prior_boxes(image_hw: Tuple[int, int]) -> np.ndarray:
     """Anchor priors: strides (8, 16, 32), two sizes per level
     (ref:facelib/detection/retinaface/retinaface_utils.py PriorBox)."""
@@ -146,8 +203,20 @@ def prior_boxes(image_hw: Tuple[int, int]) -> np.ndarray:
 
 
 class RetinaFaceDetector:
-    def __init__(self, params=None, dtype=jnp.float32):
-        self.model = RetinaFaceMobile(dtype=dtype)
+    """Both reference backbones (ref:facelib/detection/retinaface/
+    retinaface.py:20-73 generate_config): 'mobile0.25' and 'resnet50'
+    (the restoration default). Decode/NMS shared — both configs use the
+    same priors/variance."""
+
+    def __init__(self, params=None, dtype=jnp.float32,
+                 network: str = "mobile0.25"):
+        net = network.replace("retinaface_", "")
+        if net == "mobile0.25":
+            self.model = RetinaFaceMobile(dtype=dtype)
+        elif net == "resnet50":
+            self.model = RetinaFaceResNet50(dtype=dtype)
+        else:
+            raise ValueError(f"unknown RetinaFace network {network!r}")
         if params is None:
             from ..utils.params import fast_init
 
@@ -190,6 +259,89 @@ class RetinaFaceDetector:
         dets = np.concatenate([boxes, scores[:, None], pts], axis=1)
         keep_idx = nms(dets[:, :4], dets[:, 4], nms_thresh)
         return dets[keep_idx]
+
+
+def convert_retinaface_resnet50(sd):
+    """detection_Resnet50_Final.pth → RetinaFaceResNet50 params.
+
+    torch naming (ref:facelib/detection/retinaface/retinaface.py:93-113):
+    body.{conv1,bn1,layer{L}.{i}.(conv1..3|bn1..3|downsample.0/1)}
+    (torchvision resnet50 via IntermediateLayerGetter), fpn.output{N}.0/1
+    + fpn.merge{N}.0/1, ssh{N}.conv{KxK}*, {Class,Bbox,Landmark}Head.{i}.
+    conv1x1."""
+    import numpy as np
+
+    params = {}
+    stats = {}
+
+    def put(tree, path, name, w):
+        node = tree
+        for p in path:
+            node = node.setdefault(p, {})
+        node[name] = w
+
+    def put_cv(path, leaf, w):
+        if leaf == "weight":
+            put(params, path, "kernel", np.transpose(w, (2, 3, 1, 0)))
+        else:
+            put(params, path, "bias", w)
+
+    def put_bn(path, leaf, w):
+        if leaf == "weight":
+            put(params, path, "scale", w)
+        elif leaf == "bias":
+            put(params, path, "bias", w)
+        elif leaf == "running_mean":
+            put(stats, path, "mean", w)
+        elif leaf == "running_var":
+            put(stats, path, "var", w)
+
+    _SSH_BRANCH = {"conv3X3": "conv3x3", "conv5X5_1": "conv5x5_1",
+                   "conv5X5_2": "conv5x5_2", "conv7X7_2": "conv7x7_2",
+                   "conv7x7_3": "conv7x7_3"}
+    _HEAD = {"ClassHead": "class_head", "BboxHead": "bbox_head",
+             "LandmarkHead": "ldm_head"}
+
+    for key, w in sd.items():
+        key = key.replace("module.", "")
+        if key.endswith("num_batches_tracked") or key.startswith(
+                ("body.fc", "body.avgpool")):
+            continue
+        parts = key.split(".")
+        leaf = parts[-1]
+        if parts[0] == "body":
+            sub = parts[1]
+            if sub == "conv1":
+                put_cv(("body", "conv1"), leaf, w)
+            elif sub == "bn1":
+                put_bn(("body", "bn1"), leaf, w)
+            elif sub.startswith("layer"):
+                blk = f"{sub}_{parts[2]}"
+                inner = parts[3]
+                if inner.startswith("conv"):
+                    put_cv(("body", blk, inner), leaf, w)
+                elif inner.startswith("bn"):
+                    put_bn(("body", blk, inner), leaf, w)
+                elif inner == "downsample":
+                    if parts[4] == "0":
+                        put_cv(("body", blk, "ds_conv"), leaf, w)
+                    else:
+                        put_bn(("body", blk, "ds_bn"), leaf, w)
+        elif parts[0] == "fpn":
+            name = parts[1].replace("output", "fpn_out").replace(
+                "merge", "fpn_merge")
+            j = int(parts[2])
+            tgt = (f"{name}_conv",) if j == 0 else (f"{name}_bn",)
+            (put_cv if j == 0 else put_bn)(tgt, leaf, w)
+        elif parts[0].startswith("ssh"):
+            branch = _SSH_BRANCH[parts[1]]
+            j = int(parts[2])
+            tgt = ((parts[0], f"{branch}_conv") if j == 0
+                   else (parts[0], f"{branch}_bn"))
+            (put_cv if j == 0 else put_bn)(tgt, leaf, w)
+        elif parts[0] in _HEAD:
+            put_cv((f"{_HEAD[parts[0]]}_{parts[1]}",), leaf, w)
+    return {"params": params, "batch_stats": stats}
 
 
 def convert_retinaface(sd):

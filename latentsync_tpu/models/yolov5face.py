@@ -151,6 +151,102 @@ class C3(nn.Module):
         )
 
 
+class SPP(nn.Module):
+    """Spatial pyramid pooling (ref:common.py:173-184): cv1 → concat
+    [x, maxpool_k(x) for k] → cv2."""
+
+    c2: int
+    ks: Tuple[int, ...] = (3, 5, 7)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c_ = x.shape[-1] // 2
+        h = ConvBNSiLU(c_, 1, 1, dtype=self.dtype, name="cv1")(x)
+        pools = [
+            nn.max_pool(h, (k, k), strides=(1, 1),
+                        padding=((k // 2, k // 2), (k // 2, k // 2)))
+            for k in self.ks
+        ]
+        return ConvBNSiLU(self.c2, 1, 1, dtype=self.dtype, name="cv2")(
+            jnp.concatenate([h] + pools, axis=-1)
+        )
+
+
+def decode_level(p, li: int, nc: int = 1):
+    """Grid/anchor decode for one detect level (ref:models/yolo.py:53-88).
+    p: (B, ny, nx, 3·no) raw head conv output → (B, ny·nx·3, no)."""
+    no = nc + 5 + 10
+    b, ny, nx, _ = p.shape
+    # (B, ny, nx, na, no) — channel layout matches torch's
+    # view(bs, na, no, ny, nx).permute(0,1,3,4,2) after our NHWC conv
+    p = p.reshape(b, ny, nx, 3, no).astype(jnp.float32)
+    gx, gy = jnp.meshgrid(jnp.arange(nx, dtype=jnp.float32),
+                          jnp.arange(ny, dtype=jnp.float32))
+    grid = jnp.stack([gx, gy], -1)[None, :, :, None, :]  # (1,ny,nx,1,2)
+    anchor = jnp.asarray(ANCHORS[li])[None, None, None]   # (1,1,1,3,2)
+    stride = float(STRIDES[li])
+    xy = (jax.nn.sigmoid(p[..., 0:2]) * 2.0 - 0.5 + grid) * stride
+    wh = (jax.nn.sigmoid(p[..., 2:4]) * 2.0) ** 2 * anchor
+    conf = jax.nn.sigmoid(p[..., 4:5])
+    lmk = p[..., 5:15].reshape(b, ny, nx, 3, 5, 2)
+    lmk = lmk * anchor[:, :, :, :, None, :] + grid[:, :, :, :, None, :] * stride
+    cls = jax.nn.sigmoid(p[..., 15:])
+    out = jnp.concatenate(
+        [xy, wh, conf, lmk.reshape(b, ny, nx, 3, 10), cls], axis=-1
+    )
+    return out.reshape(b, ny * nx * 3, no)
+
+
+class YOLOv5lFace(nn.Module):
+    """yolov5l-face graph (ref:models/yolov5l.yaml; shipped by
+    ref:facelib/detection/__init__.py:51 as the large YOLO option):
+    StemBlock(64) → CSP C3 stages (3/9/9) with stride convs → SPP(3,5,7)
+    → C3 → PANet head with 3-repeat C3 blocks. Same Detect decode as
+    yolov5n. Input (B, H, W, 3) in [0, 1] → (B, N, 16)."""
+
+    nc: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        dt = self.dtype
+        x = x.astype(dt)
+        y0 = StemBlock(64, dtype=dt, name="m0")(x)                     # /4
+        y1 = C3(128, 3, True, dtype=dt, name="m1")(y0)
+        y2 = ConvBNSiLU(256, 3, 2, dtype=dt, name="m2")(y1)            # /8
+        y3 = C3(256, 9, True, dtype=dt, name="m3")(y2)
+        y4 = ConvBNSiLU(512, 3, 2, dtype=dt, name="m4")(y3)            # /16
+        y5 = C3(512, 9, True, dtype=dt, name="m5")(y4)
+        y6 = ConvBNSiLU(1024, 3, 2, dtype=dt, name="m6")(y5)           # /32
+        y7 = SPP(1024, (3, 5, 7), dtype=dt, name="m7")(y6)
+        y8 = C3(1024, 3, False, dtype=dt, name="m8")(y7)
+
+        y9 = ConvBNSiLU(512, 1, 1, dtype=dt, name="m9")(y8)
+        b, h, w, c = y9.shape
+        y10 = jax.image.resize(y9, (b, h * 2, w * 2, c), "nearest")
+        y12 = C3(512, 3, False, dtype=dt, name="m12")(
+            jnp.concatenate([y10, y5], axis=-1))
+        y13 = ConvBNSiLU(256, 1, 1, dtype=dt, name="m13")(y12)
+        b, h, w, c = y13.shape
+        y14 = jax.image.resize(y13, (b, h * 2, w * 2, c), "nearest")
+        y16 = C3(256, 3, False, dtype=dt, name="m16")(
+            jnp.concatenate([y14, y3], axis=-1))                       # P3
+        y17 = ConvBNSiLU(256, 3, 2, dtype=dt, name="m17")(y16)
+        y19 = C3(512, 3, False, dtype=dt, name="m19")(
+            jnp.concatenate([y17, y13], axis=-1))                      # P4
+        y20 = ConvBNSiLU(512, 3, 2, dtype=dt, name="m20")(y19)
+        y22 = C3(1024, 3, False, dtype=dt, name="m22")(
+            jnp.concatenate([y20, y9], axis=-1))                       # P5
+
+        no = self.nc + 5 + 10
+        outs = []
+        for li, feat in enumerate((y16, y19, y22)):
+            p = nn.Conv(no * 3, (1, 1), dtype=dt, name=f"detect_m{li}")(feat)
+            outs.append(decode_level(p, li, self.nc))
+        return jnp.concatenate(outs, axis=1)
+
+
 class YOLOv5nFace(nn.Module):
     """yolov5n-face graph (ref:models/yolov5n.yaml). Input (B, H, W, 3)
     in [0, 1]; returns decoded (B, N, 16) = xyxy-style cxcywh+conf+10
@@ -199,25 +295,7 @@ class YOLOv5nFace(nn.Module):
         outs = []
         for li, feat in enumerate((y14, y17, y20)):
             p = nn.Conv(no * 3, (1, 1), dtype=dt, name=f"detect_m{li}")(feat)
-            b, ny, nx, _ = p.shape
-            # (B, ny, nx, na, no) — channel layout matches torch's
-            # view(bs, na, no, ny, nx).permute(0,1,3,4,2) after our NHWC conv
-            p = p.reshape(b, ny, nx, 3, no).astype(jnp.float32)
-            gx, gy = jnp.meshgrid(jnp.arange(nx, dtype=jnp.float32),
-                                  jnp.arange(ny, dtype=jnp.float32))
-            grid = jnp.stack([gx, gy], -1)[None, :, :, None, :]  # (1,ny,nx,1,2)
-            anchor = jnp.asarray(ANCHORS[li])[None, None, None]   # (1,1,1,3,2)
-            stride = float(STRIDES[li])
-            xy = (jax.nn.sigmoid(p[..., 0:2]) * 2.0 - 0.5 + grid) * stride
-            wh = (jax.nn.sigmoid(p[..., 2:4]) * 2.0) ** 2 * anchor
-            conf = jax.nn.sigmoid(p[..., 4:5])
-            lmk = p[..., 5:15].reshape(b, ny, nx, 3, 5, 2)
-            lmk = lmk * anchor[:, :, :, :, None, :] + grid[:, :, :, :, None, :] * stride
-            cls = jax.nn.sigmoid(p[..., 15:])
-            out = jnp.concatenate(
-                [xy, wh, conf, lmk.reshape(b, ny, nx, 3, 10), cls], axis=-1
-            )
-            outs.append(out.reshape(b, ny * nx * 3, no))
+            outs.append(decode_level(p, li, self.nc))
         return jnp.concatenate(outs, axis=1)
 
 
@@ -269,8 +347,14 @@ class YOLOv5FaceDetector:
     detect(image) → (M, 15) [x1,y1,x2,y2,conf, 5·(lx,ly)]."""
 
     def __init__(self, params=None, img_size: int = 640, min_face: int = 10,
-                 dtype=jnp.float32):
-        self.model = YOLOv5nFace(dtype=dtype)
+                 dtype=jnp.float32, network: str = "YOLOv5n"):
+        net = network.lower()
+        if net == "yolov5n":
+            self.model = YOLOv5nFace(dtype=dtype)
+        elif net == "yolov5l":
+            self.model = YOLOv5lFace(dtype=dtype)
+        else:
+            raise ValueError(f"unknown YOLOv5-face network {network!r}")
         if params is None:
             from ..utils.params import fast_init
 
@@ -389,6 +473,70 @@ def convert_yolov5face(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
         elif idx in (7, 11, 15, 18):  # Conv
             put_convbn((name,), rest, w)
         else:  # C3: cv1/cv2/cv3/m.{j}
+            if rest[0] == "m":
+                put_convbn((name, f"m_{rest[1]}", rest[2]), rest[3:5], w)
+            else:
+                put_convbn((name, rest[0]), rest[1:3], w)
+    return {"params": params, "batch_stats": stats}
+
+
+# yolov5l yaml layer index → (our name, module kind)
+_L_LAYERS = {
+    0: ("m0", "stem"), 1: ("m1", "c3"), 2: ("m2", "conv"), 3: ("m3", "c3"),
+    4: ("m4", "conv"), 5: ("m5", "c3"), 6: ("m6", "conv"), 7: ("m7", "spp"),
+    8: ("m8", "c3"), 9: ("m9", "conv"), 12: ("m12", "c3"),
+    13: ("m13", "conv"), 16: ("m16", "c3"), 17: ("m17", "conv"),
+    19: ("m19", "c3"), 20: ("m20", "conv"), 22: ("m22", "c3"),
+}
+
+
+def convert_yolov5l_face(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """yolov5l-face torch `model.{i}...` state dict (ref:models/yolo.py
+    parse_model over models/yolov5l.yaml) → YOLOv5lFace variables.
+    Detect sits at layer 23 (vs 21 in yolov5n)."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def put(path: Tuple[str, ...], leaf: str, w):
+        tree = stats if leaf in ("mean", "var") else params
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node.setdefault(path[-1], {})[leaf] = w
+
+    def put_convbn(base, parts, w):
+        kind, leaf = parts[0], parts[1]
+        if kind == "conv" and leaf == "weight":
+            put(base + ("conv",), "kernel", _conv2d(w))
+        elif kind == "bn":
+            name = {"weight": "scale", "bias": "bias",
+                    "running_mean": "mean", "running_var": "var"}.get(leaf)
+            if name:
+                put(base + ("bn",), name, w)
+
+    for key, w in sd.items():
+        parts = key.split(".")
+        if parts[0] != "model":
+            continue
+        idx = int(parts[1])
+        rest = parts[2:]
+        if idx == 23:  # Detect: m.{0,1,2} 1x1 convs with bias
+            li, leaf = rest[1], rest[2]
+            if leaf == "weight":
+                put((f"detect_m{li}",), "kernel", _conv2d(w))
+            elif leaf == "bias":
+                put((f"detect_m{li}",), "bias", w)
+            continue
+        if idx not in _L_LAYERS:
+            continue
+        name, kind = _L_LAYERS[idx]
+        if kind == "stem":
+            put_convbn((name, rest[0]), rest[1:3], w)
+        elif kind in ("conv",):
+            put_convbn((name,), rest, w)
+        elif kind == "spp":
+            put_convbn((name, rest[0]), rest[1:3], w)
+        else:  # C3: cv1/cv2/cv3/m.{j}.cv1/cv2
             if rest[0] == "m":
                 put_convbn((name, f"m_{rest[1]}", rest[2]), rest[3:5], w)
             else:

