@@ -24,6 +24,7 @@ in_channels=13 = 4 noise + 1 mask + 4 masked-image + 4 reference latents
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional, Sequence, Tuple
 
@@ -252,21 +253,87 @@ class GEGLUFeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from ..ops.qconv import QDense
+        from ..ops.ffn import fused_ffn_enabled, geglu_ffn
+        from ..ops.qconv import DenseParams, dense_with_params, int8_dense_mode
 
-        # QDense == nn.Dense (same param layout, plain float matmul)
-        # unless LATENTSYNC_INT8_DENSE routes it through the int8 path —
-        # the GEGLU pair carries 31% of forward FLOPs (docs/perf_audit.md)
+        # the GEGLU pair carries 31% of forward FLOPs (docs/perf_audit.md).
+        # Default path on TPU: ops/ffn.geglu_ffn — up-proj, erf-GELU gate
+        # and down-proj in ONE Pallas kernel with the (M, 4C) hidden
+        # resident in VMEM (measured r4: 2.61→2.04 ms at M=65536/C=320;
+        # exact math, not a fidelity knob). Param tree unchanged
+        # (net_0_proj/net_2 {kernel, bias}).
         inner = self.dim * 4
-        h = QDense(inner * 2, dtype=self.dtype, name="net_0_proj")(x)
+        k0, b0 = DenseParams(inner * 2, name="net_0_proj")(x.shape[-1])
+        k2, b2 = DenseParams(self.dim, name="net_2")(inner)
+        if fused_ffn_enabled() and not int8_dense_mode():
+            return geglu_ffn(x.astype(self.dtype), k0, b0, k2, b2)
+        h = dense_with_params(x, k0, b0, self.dtype)
         value, gate = jnp.split(h, 2, axis=-1)
         h = value * nn.gelu(gate, approximate=False)
-        return QDense(self.dim, dtype=self.dtype, name="net_2")(h)
+        return dense_with_params(h, k2, b2, self.dtype)
+
+
+class LayerNormParams(nn.Module):
+    """nn.LayerNorm-identical param subtree ({scale, bias}) returned as
+    raw arrays — for fused kernels that fold the norm in (ops/attn_block)."""
+
+    @nn.compact
+    def __call__(self, dim: int):
+        s = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+        return s, b
+
+
+class _SelfAttnParams(nn.Module):
+    """CrossAttention-identical param subtree (to_q/to_k/to_v unbiased,
+    to_out_0 biased) returned as raw arrays for ops/attn_block."""
+
+    query_dim: int
+    inner: int
+
+    @nn.compact
+    def __call__(self):
+        from ..ops.qconv import DenseParams
+
+        wq, _ = DenseParams(self.inner, use_bias=False,
+                            name="to_q")(self.query_dim)
+        wk, _ = DenseParams(self.inner, use_bias=False,
+                            name="to_k")(self.query_dim)
+        wv, _ = DenseParams(self.inner, use_bias=False,
+                            name="to_v")(self.query_dim)
+        wo, bo = DenseParams(self.query_dim, name="to_out_0")(self.inner)
+        return wq, wk, wv, wo, bo
+
+
+def _self_attn_composed(x, ls, lb, wq, wk, wv, wo, bo, heads, dtype,
+                        temporal=False, pe=None):
+    """The pre-r4 composed path, kept for LATENTSYNC_INT8_DENSE (routes
+    the projections through the int8 dense kernels) and as the explicit
+    opt-out (LATENTSYNC_FUSED_ATTN=0)."""
+    from ..ops.qconv import dense_with_params
+    from ..ops.temporal_attention import spatial_attention, temporal_attention
+
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    h = (xc * jax.lax.rsqrt(var + 1e-6) * ls + lb).astype(dtype)
+    if pe is not None:
+        h = h + jnp.asarray(pe, dtype)
+    q = dense_with_params(h, wq, None, dtype)
+    k = dense_with_params(h, wk, None, dtype)
+    v = dense_with_params(h, wv, None, dtype)
+    o = (temporal_attention if temporal else spatial_attention)(q, k, v, heads)
+    return x + dense_with_params(o, wo, bo, dtype)
 
 
 class BasicTransformerBlock(nn.Module):
     """Self-attn + optional audio cross-attn + GEGLU FF
-    (ref:attention.py:127-199)."""
+    (ref:attention.py:127-199).
+
+    norm1 + attn1 + residual run as ONE fused Pallas program on TPU
+    (ops/attn_block.self_attention_block — exact math, r4; the param
+    tree is unchanged: norm1/{scale,bias}, attn1/to_*)."""
 
     dim: int
     heads: int
@@ -277,9 +344,18 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, audio_context=None):
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
-        x = x + CrossAttention(self.dim, self.heads, self.dim_head,
-                               spatial=True, dtype=self.dtype, name="attn1")(h)
+        from ..ops.attn_block import fused_attn_block_enabled, self_attention_block
+        from ..ops.qconv import int8_dense_mode
+
+        inner = self.heads * self.dim_head
+        ls, lb = LayerNormParams(name="norm1")(self.dim)
+        wq, wk, wv, wo, bo = _SelfAttnParams(self.dim, inner, name="attn1")()
+        if fused_attn_block_enabled() and not int8_dense_mode():
+            x = self_attention_block(x.astype(self.dtype), ls, lb, wq, wk,
+                                     wv, wo, bo, self.heads)
+        else:
+            x = _self_attn_composed(x.astype(self.dtype), ls, lb, wq, wk,
+                                    wv, wo, bo, self.heads, self.dtype)
         if self.add_audio_layer and audio_context is not None:
             h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
             x = x + CrossAttention(
@@ -343,31 +419,21 @@ def interleaved_positional_encoding(max_len: int, d_model: int) -> np.ndarray:
     return pe
 
 
-class TemporalAttention(nn.Module):
-    """VersatileAttention Temporal_Self (ref:motion_module.py:237-313):
-    attention across the frame axis per spatial location.
+class _TemporalAttnParams(nn.Module):
+    """VersatileAttention Temporal_Self param subtree
+    (ref:motion_module.py:237-313): nests the CrossAttention-shaped
+    params under "attn" so the checkpoint path
+    …/attention_blocks_{j}/attn/to_q is preserved. The forward itself
+    (PE add + attention across the frame axis per spatial location, in
+    the (b·s, f, c) layout TemporalModule transposes ONCE for the whole
+    stack) lives in ops/attn_block.self_attention_block(temporal=True)."""
 
-    Input arrives ALREADY in (b·s, f, c) layout — TemporalModule
-    transposes once for its whole block stack instead of per-attention
-    (the reference reshapes around every attention call,
-    ref:motion_module.py:265,311; norms/FF are per-token so the layout
-    is equivalent, and two full-tensor transposes per attention vanish).
-    """
-
-    dim: int
-    heads: int
-    dim_head: int
-    max_len: int = 24
-    use_pos_encoding: bool = True
-    dtype: jnp.dtype = jnp.float32
+    query_dim: int
+    inner: int
 
     @nn.compact
-    def __call__(self, h, video_length: int):
-        if self.use_pos_encoding:
-            pe = interleaved_positional_encoding(self.max_len, h.shape[-1])
-            h = h + jnp.asarray(pe[:video_length], h.dtype)
-        return CrossAttention(self.dim, self.heads, self.dim_head,
-                              temporal=True, dtype=self.dtype, name="attn")(h)
+    def __call__(self):
+        return _SelfAttnParams(self.query_dim, self.inner, name="attn")()
 
 
 class TemporalModule(nn.Module):
@@ -399,16 +465,28 @@ class TemporalModule(nn.Module):
         s = hh * ww
         h = h.reshape(b, f, s, inner).transpose(0, 2, 1, 3).reshape(b * s, f, inner)
 
+        from ..ops.attn_block import fused_attn_block_enabled, self_attention_block
+        from ..ops.qconv import int8_dense_mode
+
+        fused = fused_attn_block_enabled() and not int8_dense_mode()
+        pe_full = (interleaved_positional_encoding(
+            self.mm.temporal_position_encoding_max_len, inner)
+            if self.mm.temporal_position_encoding else None)
         for i in range(self.mm.num_transformer_block):
             blk = f"transformer_blocks_{i}"
             for j, _ in enumerate(self.mm.attention_block_types):
-                hn = nn.LayerNorm(dtype=jnp.float32, name=f"{blk}_norms_{j}")(h)
-                h = h + TemporalAttention(
-                    inner, heads, dim_head,
-                    max_len=self.mm.temporal_position_encoding_max_len,
-                    use_pos_encoding=self.mm.temporal_position_encoding,
-                    dtype=self.dtype, name=f"{blk}_attention_blocks_{j}",
-                )(hn.astype(self.dtype), f)
+                # norm + attention + residual as one fused program
+                # (ops/attn_block); param tree identical to the module
+                # composition it replaces
+                ls, lb = LayerNormParams(name=f"{blk}_norms_{j}")(inner)
+                wq, wk, wv, wo, bo = _TemporalAttnParams(
+                    inner, heads * dim_head,
+                    name=f"{blk}_attention_blocks_{j}")()
+                pe = None if pe_full is None else pe_full[:f]
+                fn = self_attention_block if fused else functools.partial(
+                    _self_attn_composed, dtype=self.dtype)
+                h = fn(h.astype(self.dtype), ls, lb, wq, wk, wv, wo, bo,
+                       heads, temporal=True, pe=pe)
             hn = nn.LayerNorm(dtype=jnp.float32, name=f"{blk}_ff_norm")(h)
             h = h + GEGLUFeedForward(inner, dtype=self.dtype, name=f"{blk}_ff")(
                 hn.astype(self.dtype)

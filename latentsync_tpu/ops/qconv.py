@@ -94,6 +94,39 @@ def int8_dense_enabled() -> bool:
     return int8_dense_mode() != ""
 
 
+class DenseParams(nn.Module):
+    """Declares an nn.Dense-identical param subtree ({kernel[, bias]})
+    and returns the raw arrays — for callers that feed the params into a
+    fused Pallas kernel (ops/ffn.py) instead of a per-layer matmul. The
+    checkpoint tree is indistinguishable from QDense/nn.Dense."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, cin: int):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (cin, self.features), jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,),
+                           jnp.float32) if self.use_bias else None)
+        return kernel, bias
+
+
+def dense_with_params(x, kernel, bias, dtype):
+    """The QDense forward on explicit params (same int8 routing)."""
+    mode = int8_dense_mode()
+    if not mode:
+        y = x.astype(dtype) @ kernel.astype(dtype)
+        return y + bias.astype(dtype) if bias is not None else y
+    shape = x.shape
+    x2d = x.reshape(-1, shape[-1])
+    if mode == "pallas":
+        out = _qdense_pallas_ste(x2d, kernel, bias)
+    else:
+        out = _qdense_ste(x2d, kernel, bias)
+    return out.astype(dtype).reshape(shape[:-1] + (kernel.shape[1],))
+
+
 class QDense(nn.Module):
     """nn.Dense-compatible ({kernel[, bias]}) projection that runs the
     int8 MXU path under LATENTSYNC_INT8_DENSE=1: per-row (token)
@@ -111,17 +144,7 @@ class QDense(nn.Module):
                             (cin, self.features), jnp.float32)
         bias = (self.param("bias", nn.initializers.zeros, (self.features,),
                            jnp.float32) if self.use_bias else None)
-        mode = int8_dense_mode()
-        if not mode:
-            y = x.astype(self.dtype) @ kernel.astype(self.dtype)
-            return y + bias.astype(self.dtype) if bias is not None else y
-        shape = x.shape
-        x2d = x.reshape(-1, cin)
-        if mode == "pallas":
-            out = _qdense_pallas_ste(x2d, kernel, bias)
-        else:
-            out = _qdense_ste(x2d, kernel, bias)
-        return out.astype(self.dtype).reshape(shape[:-1] + (self.features,))
+        return dense_with_params(x, kernel, bias, self.dtype)
 
 
 @jax.custom_vjp

@@ -377,6 +377,63 @@ def main():
                 print(json.dumps({"name": f"conv3x3_int8_dyn_{hw}_{c}",
                                   "error": str(e)[:200]}), flush=True)
 
+    if which in ("all", "ffn"):
+        # r4: fused GEGLU FF (up+gate+down, hidden resident in VMEM) vs
+        # the XLA pair, and the 3-output fused q/k/v projection vs three
+        # XLA matmuls — at the UNet's per-resolution shapes for this W.
+        from latentsync_tpu.ops.ffn import _geglu_xla, geglu_ffn, qkv_proj
+
+        for s_hw, c in ((1024, 320), (256, 640), (64, 1280)):
+            m = bf * s_hw
+            inner = 4 * c
+            x = jnp.asarray(rng.standard_normal((m, c)), dt)
+            w_up = jnp.asarray(rng.standard_normal((c, 2 * inner)) * 0.02, dt)
+            b_up = jnp.zeros((2 * inner,), jnp.float32)
+            w_dn = jnp.asarray(rng.standard_normal((inner, c)) * 0.02, dt)
+            b_dn = jnp.zeros((c,), jnp.float32)
+            fl = 2 * m * c * 2 * inner + 2 * m * inner * c  # up pair + down
+
+            def ff_xla(y, w_up=w_up, b_up=b_up, w_dn=w_dn, b_dn=b_dn,
+                       inner=inner):
+                return _geglu_xla(y, w_up[:, :inner], w_up[:, inner:],
+                                  b_up[:inner], b_up[inner:], w_dn,
+                                  b_dn).astype(dt)
+
+            bench_loop(f"geglu_xla_M{m}_C{c}", ff_xla, x, fl,
+                       iters=args.iters)
+
+            def ff_fused(y, w_up=w_up, b_up=b_up, w_dn=w_dn, b_dn=b_dn):
+                return geglu_ffn(y, w_up, b_up, w_dn, b_dn).astype(dt)
+
+            try:
+                bench_loop(f"geglu_fused_M{m}_C{c}", ff_fused, x, fl,
+                           iters=args.iters)
+            except Exception as e:
+                print(json.dumps({"name": f"geglu_fused_M{m}_C{c}",
+                                  "error": str(e)[:300]}), flush=True)
+
+            wq = jnp.asarray(rng.standard_normal((c, c)) * 0.02, dt)
+            wk = jnp.asarray(rng.standard_normal((c, c)) * 0.02, dt)
+            wv = jnp.asarray(rng.standard_normal((c, c)) * 0.02, dt)
+            fl3 = 3 * 2 * m * c * c
+
+            def qkv_xla3(y, wq=wq, wk=wk, wv=wv):
+                return (y @ wq + y @ wk + y @ wv).astype(dt)
+
+            bench_loop(f"qkv_xla_M{m}_C{c}", qkv_xla3, x, fl3,
+                       iters=args.iters)
+
+            def qkv_fused(y, wq=wq, wk=wk, wv=wv):
+                q, k, v = qkv_proj(y, wq, wk, wv)
+                return (q + k + v).astype(dt)
+
+            try:
+                bench_loop(f"qkv_fused_M{m}_C{c}", qkv_fused, x, fl3,
+                           iters=args.iters)
+            except Exception as e:
+                print(json.dumps({"name": f"qkv_fused_M{m}_C{c}",
+                                  "error": str(e)[:300]}), flush=True)
+
     if which in ("all", "qmm"):
         # the fused Pallas int8 matmul (ops/qmm): does keeping the
         # activation quantize + int32 dequant in VMEM recover the MXU

@@ -1,0 +1,97 @@
+"""Unit tests for the fused self-attention block kernel (ops/attn_block).
+
+Interpret mode on CPU vs the composed XLA lowering — the same module
+composition the reference builds from torch (ref:attention.py:127-199,
+motion_module.py:154-313)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from latentsync_tpu.ops.attn_block import (
+    _fused,
+    _xla_block,
+    self_attention_block,
+)
+
+
+def _params(rng, c, inner):
+    ls = jnp.asarray(rng.standard_normal((c,)) * 0.1 + 1.0, jnp.float32)
+    lb = jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32)
+    wq = jnp.asarray(rng.standard_normal((c, inner)) * 0.05, jnp.float32)
+    wk = jnp.asarray(rng.standard_normal((c, inner)) * 0.05, jnp.float32)
+    wv = jnp.asarray(rng.standard_normal((c, inner)) * 0.05, jnp.float32)
+    wo = jnp.asarray(rng.standard_normal((inner, c)) * 0.05, jnp.float32)
+    bo = jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32)
+    return ls, lb, wq, wk, wv, wo, bo
+
+
+@pytest.mark.parametrize("temporal,b,s,c,heads", [
+    (False, 4, 64, 32, 4),
+    (True, 8, 16, 32, 4),
+])
+def test_fused_block_matches_composed(temporal, b, s, c, heads):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((b, s, c)), jnp.float32)
+    ls, lb, wq, wk, wv, wo, bo = _params(rng, c, c)
+    pe = (jnp.asarray(rng.standard_normal((s, c)) * 0.1, jnp.float32)
+          if temporal else None)
+    scale = 1.0 / np.sqrt(c // heads)
+
+    got = _fused(x, ls, lb, pe, wq, wk, wv, wo, bo, heads, temporal,
+                 1e-6, scale, 2, True)
+    want = _xla_block(x, ls, lb, pe, wq, wk, wv, wo, bo, heads, temporal,
+                      1e-6, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_public_entry_shapes_and_grad():
+    rng = np.random.default_rng(1)
+    b, s, c, heads = 4, 32, 64, 4
+    x = jnp.asarray(rng.standard_normal((b, s, c)), jnp.float32)
+    ls, lb, wq, wk, wv, wo, bo = _params(rng, c, c)
+
+    out = self_attention_block(x, ls, lb, wq, wk, wv, wo, bo, heads,
+                               interpret=True)
+    assert out.shape == x.shape
+
+    def loss(wq):
+        return jnp.sum(self_attention_block(
+            x, ls, lb, wq, wk, wv, wo, bo, heads, interpret=True) ** 2)
+
+    def loss_ref(wq):
+        return jnp.sum(_xla_block(x, ls, lb, None, wq, wk, wv, wo, bo,
+                                  heads, False, 1e-6,
+                                  1.0 / np.sqrt(c // heads)) ** 2)
+
+    np.testing.assert_allclose(np.asarray(jax.grad(loss)(wq)),
+                               np.asarray(jax.grad(loss_ref)(wq)),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_temporal_matches_module_semantics():
+    """Fused temporal path == LN → +PE → attention-over-frames → out
+    proj → residual (the motion-module block semantics)."""
+    from latentsync_tpu.ops.temporal_attention import _temporal_xla
+
+    rng = np.random.default_rng(2)
+    b, f, c, heads = 8, 16, 32, 4
+    x = jnp.asarray(rng.standard_normal((b, f, c)), jnp.float32)
+    ls, lb, wq, wk, wv, wo, bo = _params(rng, c, c)
+    pe = jnp.asarray(rng.standard_normal((f, c)) * 0.1, jnp.float32)
+
+    got = self_attention_block(x, ls, lb, wq, wk, wv, wo, bo, heads,
+                               temporal=True, pe=pe, interpret=True)
+
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    xc = xf - mu
+    var = (xc * xc).mean(-1, keepdims=True)
+    h = xc * jax.lax.rsqrt(var + 1e-6) * ls + lb + pe
+    q, k, v = h @ wq, h @ wk, h @ wv
+    o = _temporal_xla(q, k, v, heads, 1.0 / np.sqrt(c // heads))
+    want = x + (o @ wo + bo)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)

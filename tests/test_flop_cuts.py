@@ -264,18 +264,42 @@ def test_denoise_knobs_key_the_jit_cache(tiny_pipeline_shared, monkeypatch):
 
 
 def test_flop_cut_knob_parsing(monkeypatch):
+    import pytest
+
+    from latentsync_tpu.config import LatentSyncConfig
     from latentsync_tpu.pipelines.lipsync import LipsyncPipeline
+
+    class _Stub:
+        config = LatentSyncConfig()
+
+    knobs = lambda n: LipsyncPipeline._flop_cut_knobs(_Stub(), n)  # noqa: E731
 
     monkeypatch.delenv("LATENTSYNC_DEEPCACHE", raising=False)
     monkeypatch.delenv("LATENTSYNC_CFG_INTERVAL", raising=False)
-    assert LipsyncPipeline._flop_cut_knobs(20) == (0, 0, False, 0, 0, 20)
+    assert knobs(20) == (0, 0, False, 0, 0, 20)
     monkeypatch.setenv("LATENTSYNC_DEEPCACHE", "3")
-    assert LipsyncPipeline._flop_cut_knobs(20) == (3, 1, False, 0, 0, 20)
+    assert knobs(20) == (3, 1, False, 0, 0, 20)
     monkeypatch.setenv("LATENTSYNC_DEEPCACHE", "2:2")
     monkeypatch.setenv("LATENTSYNC_CFG_INTERVAL", "0.25:0.75")
-    assert LipsyncPipeline._flop_cut_knobs(20) == (2, 2, False, 0, 5, 15)
+    assert knobs(20) == (2, 2, False, 0, 5, 15)
     monkeypatch.setenv("LATENTSYNC_DEEPCACHE", "4:1:enc:2")
-    assert LipsyncPipeline._flop_cut_knobs(20) == (4, 1, True, 2, 5, 15)
+    assert knobs(20) == (4, 1, True, 2, 5, 15)
     monkeypatch.setenv("LATENTSYNC_DEEPCACHE", "0")
     monkeypatch.setenv("LATENTSYNC_CFG_INTERVAL", "")
-    assert LipsyncPipeline._flop_cut_knobs(20)[:2] == (0, 0)
+    assert knobs(20)[:2] == (0, 0)
+
+    # ADVICE r3: typos must fail loudly, not silently run a different
+    # operating point
+    monkeypatch.setenv("LATENTSYNC_DEEPCACHE", "4:1:ecn:2")
+    with pytest.raises(ValueError, match="third field"):
+        knobs(20)
+    monkeypatch.setenv("LATENTSYNC_DEEPCACHE", "4:9:enc")
+    with pytest.raises(ValueError, match="depth"):
+        knobs(20)
+    monkeypatch.setenv("LATENTSYNC_DEEPCACHE", "4:1:enc")
+    monkeypatch.setenv("LATENTSYNC_CFG_INTERVAL", "0.5")
+    with pytest.raises(ValueError, match="lo:hi"):
+        knobs(20)
+    monkeypatch.setenv("LATENTSYNC_CFG_INTERVAL", "0.7:0.2")
+    with pytest.raises(ValueError, match="lo <= hi"):
+        knobs(20)
