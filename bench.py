@@ -27,19 +27,21 @@ def main():
     # statistical — validation protocol in the audit). LATENTSYNC_INT8=0
     # benches the pure-bf16 path.
     os.environ.setdefault("LATENTSYNC_INT8", "1")
-    # DeepCache + encoder propagation + CFG guidance interval are the
-    # production inference mode (measured sweep in docs/perf_audit.md
-    # "Round-3 FLOP cuts": 2:1:enc 17.4 / 3:1:enc 19.6 / 4:1:enc 21.6 /
-    # 5:1:enc 23.1 / 4:1:enc:2 30.1 / 5:1:enc:2 34.9 fps; same statistical fidelity gate
-    # + validation protocol as int8 — SyncNet conf within 2%;
+    # DeepCache + encoder propagation are the production inference mode
+    # (measured sweep in docs/perf_audit.md "Round-3 FLOP cuts":
+    # 2:1:enc 17.4 / 3:1:enc 19.6 / 4:1:enc 21.6 / 5:1:enc 23.1 /
+    # 4:1:enc:2 30.1 / 5:1:enc:2 34.9 fps r03; same statistical fidelity
+    # gate + validation protocol as int8 — SyncNet conf within 2%;
     # `scripts/validate_fidelity.py --ladder` walks these rungs
     # fastest-first and selects the first that passes the moment real
-    # weights drop). Default operating point: 4:1:enc:2 — reads replay
-    # only up3's last layer + conv_out on the cached features; the
-    # sub-block cut adds no measurable trajectory deviation beyond enc
-    # itself (audit "deviation scaling"). LATENTSYNC_DEEPCACHE=0 /
-    # LATENTSYNC_CFG_INTERVAL="" bench the exact-trajectory path.
-    os.environ.setdefault("LATENTSYNC_DEEPCACHE", "4:1:enc:2")
+    # weights drop). Default operating point: the MODERATE 4:1:enc rung
+    # of the measured ladder (all ladder rungs include CFG 0:0.5) —
+    # ADVICE r3: the aggressive sub-block read cut (4:1:enc:2) stays
+    # opt-in (BENCH_TURBO=1 below, or env knobs) until the ladder has
+    # passed on pretrained weights. LATENTSYNC_DEEPCACHE=0 benches the
+    # exact-trajectory path, which is also always measured and reported
+    # as detail.exact_fps below.
+    os.environ.setdefault("LATENTSYNC_DEEPCACHE", "4:1:enc")
     os.environ.setdefault("LATENTSYNC_CFG_INTERVAL", "0:0.5")
     from latentsync_tpu.audio.features import Audio2Feature
     from latentsync_tpu.config import LatentSyncConfig, WhisperConfig
@@ -99,14 +101,15 @@ def main():
         (W, f, lat, lat, 4),
     )
 
-    denoise = pipe._denoise_fn(steps, guidance, True)
-
-    def generate():
-        masked_lat = pipe._vae_encode(masked_pix).reshape(W, f, lat, lat, 4)
-        ref_lat = pipe._vae_encode(pixels).reshape(W, f, lat, lat, 4)
-        lat_out = denoise(pipe.unet_params, latents0, mask, masked_lat, ref_lat, audio)
-        frames = pipe._vae_decode(lat_out.reshape(total, lat, lat, 4))
-        return frames
+    def make_generate(denoise):
+        def generate():
+            masked_lat = pipe._vae_encode(masked_pix).reshape(W, f, lat, lat, 4)
+            ref_lat = pipe._vae_encode(pixels).reshape(W, f, lat, lat, 4)
+            lat_out = denoise(pipe.unet_params, latents0, mask, masked_lat,
+                              ref_lat, audio)
+            frames = pipe._vae_decode(lat_out.reshape(total, lat, lat, 4))
+            return frames
+        return generate
 
     def sync(x):
         # through the axon tunnel only a data FETCH synchronizes;
@@ -114,17 +117,38 @@ def main():
         # fetch one element to drain the execution stream
         np.asarray(jax.device_get(x.ravel()[:1]))
 
-    # warmup / compile
-    sync(generate())
+    def measure(generate):
+        sync(generate())  # warmup / compile
+        times = []
+        for _ in range(n_rounds):
+            t0 = time.perf_counter()
+            sync(generate())
+            times.append(time.perf_counter() - t0)
+        return times
 
-    times = []
-    for _ in range(n_rounds):
-        t0 = time.perf_counter()
-        sync(generate())
-        times.append(time.perf_counter() - t0)
+    times = measure(make_generate(pipe._denoise_fn(steps, guidance, True)))
+    fps = total / min(times)
 
-    best = min(times)
-    fps = total / best
+    # exact-trajectory fps (VERDICT r3 #1): the same path with every
+    # output-changing FLOP-cut knob off — reference DDIM semantics.
+    # int8 convs stay on (that is the exact-trajectory operating point
+    # the perf audit tracks; LATENTSYNC_INT8=0 gives pure bf16).
+    knobs = {k: os.environ.pop(k, None)
+             for k in ("LATENTSYNC_DEEPCACHE", "LATENTSYNC_CFG_INTERVAL")}
+    exact_times = measure(make_generate(pipe._denoise_fn(steps, guidance, True)))
+    exact_fps = total / min(exact_times)
+
+    # opt-in turbo rung (aggressive: sub-block read cut + CFG interval)
+    turbo = {}
+    if os.environ.get("BENCH_TURBO"):
+        os.environ["LATENTSYNC_DEEPCACHE"] = "4:1:enc:2"
+        os.environ["LATENTSYNC_CFG_INTERVAL"] = "0:0.5"
+        tt = measure(make_generate(pipe._denoise_fn(steps, guidance, True)))
+        turbo = {"turbo_fps": round(total / min(tt), 2),
+                 "turbo_knobs": "deepcache=4:1:enc:2,cfg=0:0.5"}
+    for k, v in knobs.items():  # restore the defaults for the e2e runs
+        if v is not None:
+            os.environ[k] = v
 
     # measured end-to-end latency per 5 s clip — full pipeline including
     # host face align, warp-restore paste-back, and mux on the demo
@@ -155,10 +179,11 @@ def main():
             import threading
 
             budget_s = float(os.environ.get("BENCH_E2E_RUN_TIMEOUT", "600"))
+            n_e2e = int(os.environ.get("BENCH_E2E_RUNS", "5"))
             runs = []
             elapsed = {}
-            timed_out = False
-            for i in range(3):
+            timed_out = 0
+            for i in range(n_e2e):
                 result = {}
 
                 def one_run(i=i, result=result):
@@ -173,17 +198,32 @@ def main():
                 th.start()
                 th.join(budget_s if i else budget_s * 4)  # run 0 compiles
                 if "t" not in result:
-                    timed_out = True
-                    break
+                    # a stalled tunnel fetch must neither wedge the bench
+                    # nor end the sample — record and keep measuring
+                    timed_out += 1
+                    if timed_out >= 2:
+                        break
+                    continue
                 runs.append(result["t"])
                 elapsed = result["elapsed"]
             runs.sort()
+            # host/device overlap proof (VERDICT r3 #5): stages are timed
+            # per-stage on their own threads (faces ∥ audio; chunked
+            # decode fetch ∥ host restore), so Σ(stages) > wall-clock iff
+            # the overlap actually engaged on this measured run
+            stage_keys = ("faces", "audio_device", "audio", "vae_encode",
+                          "denoise", "vae_decode", "restore", "write")
+            stage_sum = sum(elapsed.get(k, 0.0) for k in stage_keys)
             e2e = {
                 **({"p50_latency_5s_clip_s": round(runs[len(runs) // 2], 3)}
                    if runs else {}),
                 "e2e_runs_s": [round(t, 3) for t in runs],
                 "e2e_stage_s": {k: round(v, 3) for k, v in elapsed.items()},
-                **({"e2e_timeout": True} if timed_out else {}),
+                **({"e2e_stage_sum_s": round(stage_sum, 3),
+                    "e2e_overlap_s": round(
+                        stage_sum - elapsed["total"], 3)}
+                   if elapsed else {}),
+                **({"e2e_timeouts": timed_out} if timed_out else {}),
             }
         except Exception as exc:  # noqa: BLE001 — e2e is additive detail
             e2e = {"e2e_error": f"{type(exc).__name__}: {exc}"}
@@ -212,6 +252,9 @@ def main():
         "vs_baseline": round(fps / 25.0, 3),
         "detail": {
             "windows": W, "times_s": [round(t, 3) for t in times],
+            "exact_fps": round(exact_fps, 2),
+            "exact_times_s": [round(t, 3) for t in exact_times],
+            **turbo,
             "int8_convs": os.environ.get("LATENTSYNC_INT8") == "1",
             "deepcache": os.environ.get("LATENTSYNC_DEEPCACHE", ""),
             "cfg_interval": os.environ.get("LATENTSYNC_CFG_INTERVAL", ""),

@@ -28,6 +28,7 @@ import functools
 import math
 import os
 import time
+import warnings
 from dataclasses import dataclass
 from typing import Optional, Tuple
 
@@ -275,8 +276,7 @@ class LipsyncPipeline:
             pieces.append((sl, fn(self.vae_params, z[i : i + size])))
         return pieces
 
-    @staticmethod
-    def _flop_cut_knobs(num_steps: int) -> Tuple[int, int, bool, int, int]:
+    def _flop_cut_knobs(self, num_steps: int) -> Tuple[int, int, bool, int, int]:
         """Parse the two statistically-gated FLOP-cut env knobs
         (docs/perf_audit.md "round-3 FLOP cuts"; fidelity gate is
         SyncNet confidence within 2% — BASELINE.md — not bitwise).
@@ -302,16 +302,37 @@ class LipsyncPipeline:
             parts = dc.split(":")
             dc_interval = int(parts[0])
             dc_depth = int(parts[1]) if len(parts) > 1 else 1
-            dc_enc = len(parts) > 2 and parts[2] in ("enc", "1")
+            if len(parts) > 2:
+                # a typo like "enc"→"ecn" must fail loudly, not silently
+                # run a different operating point (ADVICE r3)
+                if parts[2] not in ("enc", "1"):
+                    raise ValueError(
+                        f"LATENTSYNC_DEEPCACHE={dc!r}: third field must be "
+                        "'enc' (or '1'), got " + repr(parts[2]))
+                dc_enc = True
             dc_sub = int(parts[3]) if (dc_enc and len(parts) > 3) else 0
+            n_blocks = len(self.config.unet.block_out_channels)
+            if not (0 <= dc_depth <= n_blocks):
+                raise ValueError(
+                    f"LATENTSYNC_DEEPCACHE={dc!r}: depth {dc_depth} outside "
+                    f"0..{n_blocks} (number of UNet block levels)")
             if dc_interval <= 1:
                 dc_interval, dc_depth, dc_enc, dc_sub = 0, 0, False, 0
         ci = os.environ.get("LATENTSYNC_CFG_INTERVAL", "")
         cfg_lo, cfg_hi = 0, num_steps
         if ci:
-            lo_s, hi_s = ci.split(":")
-            cfg_lo = int(round(float(lo_s) * num_steps))
-            cfg_hi = int(round(float(hi_s) * num_steps))
+            try:
+                lo_s, hi_s = ci.split(":")
+                lo_f, hi_f = float(lo_s), float(hi_s)
+            except ValueError:
+                raise ValueError(
+                    f"LATENTSYNC_CFG_INTERVAL={ci!r}: expected 'lo:hi' "
+                    "fractions of the trajectory, e.g. '0:0.5'") from None
+            if not (0.0 <= lo_f <= hi_f <= 1.0):
+                raise ValueError(
+                    f"LATENTSYNC_CFG_INTERVAL={ci!r}: need 0 <= lo <= hi <= 1")
+            cfg_lo = int(round(lo_f * num_steps))
+            cfg_hi = int(round(hi_f * num_steps))
         return dc_interval, dc_depth, dc_enc, dc_sub, cfg_lo, cfg_hi
 
     def _denoise_fn(self, num_steps: int, guidance: float, do_cfg: bool):
@@ -505,12 +526,26 @@ class LipsyncPipeline:
                     lat_path = os.path.splitext(data_path)[0] + "_latents.npz"
                     if os.path.isfile(lat_path):
                         d = np.load(lat_path)
-                        fp_ok = ("fingerprint" in d and str(d["fingerprint"])
-                                 == self._artifact_fingerprint(mask_image))
+                        legacy = "fingerprint" not in d
+                        fp_ok = legacy or (str(d["fingerprint"])
+                                           == self._artifact_fingerprint(mask_image))
                         if (fp_ok
                                 and d["masked_lat"].shape[0] == len(faces)
                                 and int(d["resolution"]) == res
                                 and str(d["mask_mode"]) == cfg.data.mask):
+                            # pre-fingerprint artifacts that match on
+                            # shape/resolution/mask stay valid (ADVICE r3:
+                            # rejecting them re-encoded every request for
+                            # already-onboarded avatars); warn so operators
+                            # re-run precompute for the stronger guard
+                            if legacy:
+                                warnings.warn(
+                                    f"avatar latent artifact {lat_path} has "
+                                    "no VAE-weights fingerprint (written "
+                                    "before r3); accepted on shape/"
+                                    "resolution/mask — re-run "
+                                    "precompute_avatar_latents to add the "
+                                    "fingerprint", stacklevel=1)
                             face_result["latents"] = (
                                 d["masked_lat"], d["ref_lat"])
                         else:

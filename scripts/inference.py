@@ -121,13 +121,16 @@ def main():
     p.add_argument("--data-path", default=None, help="precomputed affine bundle (.npz)")
     p.add_argument("--window-batch", type=int, default=2)
     p.add_argument("--fast", default=None, nargs="?",
-                   const="int8,deepcache=4:1:enc:2,cfg=0:0.5",
+                   const="int8,deepcache=4:1:enc,cfg=0:0.5",
                    help="fast inference mode (statistically gated — validate "
                         "with scripts/validate_fidelity): comma list of int8 "
-                        "/ deepcache=I:d[:enc] / cfg=lo:hi. Bare --fast "
-                        "selects the production operating point (30.1 fps "
-                        "measured); omit for the exact trajectory (env knobs "
-                        "still honored)")
+                        "/ deepcache=I:d[:enc[:k]] / cfg=lo:hi. Bare --fast "
+                        "selects the moderate production operating point; the "
+                        "aggressive turbo rung is spelled out explicitly "
+                        "(--fast int8,deepcache=4:1:enc:2,cfg=0:0.5) and "
+                        "stays opt-in until validate_fidelity --ladder has "
+                        "passed on pretrained weights (ADVICE r3). Omit for "
+                        "the exact trajectory (env knobs still honored)")
     args = p.parse_args()
 
     if args.fast is not None:
