@@ -22,13 +22,21 @@ def main():
     p.add_argument("--output-dir", default="debug/syncnet")
     p.add_argument("--validation-steps", type=int, default=2500)
     p.add_argument("--log-every", type=int, default=10)
+    p.add_argument("--resume", action="store_true",
+                   help="restore the latest Orbax checkpoint in "
+                        "--output-dir (params + optimizer state + loss "
+                        "history + step) and continue")
     args = p.parse_args()
 
     from latentsync_tpu.config import LatentSyncConfig, load_config
     from latentsync_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
     from latentsync_tpu.training.data import HostDataLoader, SyncNetSampleSource
     from latentsync_tpu.training.syncnet_trainer import SyncNetTrainer
-    from latentsync_tpu.utils.checkpoint import save_checkpoint
+    from latentsync_tpu.utils.checkpoint import (
+        latest_checkpoint,
+        restore_checkpoint,
+        save_checkpoint,
+    )
     from latentsync_tpu.utils.observability import plot_loss_chart
 
     config = load_config(args.config) if args.config else LatentSyncConfig()
@@ -75,6 +83,24 @@ def main():
     max_steps = args.max_steps or config.run.max_train_steps
     train_hist, val_hist = [], []
     step = 0
+    if args.resume:
+        ckpt = latest_checkpoint(args.output_dir)
+        if ckpt:
+            restored = restore_checkpoint(
+                ckpt, {"params": params, "opt_state": opt_state})
+            params = jax.tree.map(
+                lambda x, t: jax.device_put(jnp.asarray(x), t.sharding),
+                restored["params"], params)
+            opt_state = jax.tree.map(
+                lambda x, t: jax.device_put(jnp.asarray(x), t.sharding),
+                restored["opt_state"], opt_state)
+            aux = restored.get("aux", {})
+            train_hist = [tuple(r) for r in
+                          np.asarray(aux.get("train_hist", [])).tolist()]
+            val_hist = [tuple(r) for r in
+                        np.asarray(aux.get("val_hist", [])).tolist()]
+            step = int(os.path.basename(ckpt).split("_")[-1])
+            print(json.dumps({"resumed_from": ckpt, "step": step}))
     t0 = time.time()
     with mesh:
         for batch in loader:

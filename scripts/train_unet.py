@@ -28,6 +28,12 @@ def main():
     p.add_argument("--unet-ckpt", default="")
     p.add_argument("--vae-ckpt", default="")
     p.add_argument("--log-every", type=int, default=10)
+    p.add_argument("--resume", action="store_true",
+                   help="restore the latest Orbax checkpoint in "
+                        "--output-dir (params + optimizer state + step) "
+                        "and continue — the reference restarts from torch "
+                        "weights only (ref:scripts/train_unet.py:131-143); "
+                        "here optimizer state survives too")
     args = p.parse_args()
 
     from latentsync_tpu.config import LatentSyncConfig, load_unet_config
@@ -35,7 +41,11 @@ def main():
     from latentsync_tpu.training.data import HostDataLoader, UNetSampleSource
     from latentsync_tpu.training.unet_trainer import UNetTrainer
     from latentsync_tpu.utils import convert
-    from latentsync_tpu.utils.checkpoint import save_checkpoint
+    from latentsync_tpu.utils.checkpoint import (
+        latest_checkpoint,
+        restore_checkpoint,
+        save_checkpoint,
+    )
     from latentsync_tpu.utils.params import UNET_ZERO_PATHS, cast_floating, fast_init
 
     config = load_unet_config(args.config) if args.config else LatentSyncConfig()
@@ -91,6 +101,20 @@ def main():
     opt_state = tx.init(unet_params)
     loss_fn, train_step = trainer.make_train_step(vae_params=vae_params)
     step_jit = jax.jit(lambda p, o, b, r: train_step(p, o, b, r, tx))
+
+    if args.resume:
+        ckpt = latest_checkpoint(args.output_dir)
+        if ckpt:
+            restored = restore_checkpoint(
+                ckpt, {"params": unet_params, "opt_state": opt_state})
+            unet_params = jax.tree.map(
+                lambda x, t: jax.device_put(jnp.asarray(x), t.sharding),
+                restored["params"], unet_params)
+            opt_state = jax.tree.map(
+                lambda x, t: jax.device_put(jnp.asarray(x), t.sharding),
+                restored["opt_state"], opt_state)
+            global_step = int(os.path.basename(ckpt).split("_")[-1])
+            print(json.dumps({"resumed_from": ckpt, "step": global_step}))
 
     # --- data ---
     source = UNetSampleSource(config, seed=config.run.seed)
@@ -164,9 +188,15 @@ def run_validation(unet_params, vae_params, config, output_dir, step):
         from latentsync_tpu.config import WhisperConfig
         from latentsync_tpu.pipelines.lipsync import LipsyncPipeline
 
-        wcfg = (WhisperConfig.tiny()
-                if config.unet.cross_attention_dim == 384
-                else WhisperConfig.small())
+        cad = config.unet.cross_attention_dim
+        if cad == 384:
+            wcfg = WhisperConfig.tiny()
+        elif cad == 768:
+            wcfg = WhisperConfig.small()
+        else:  # non-release dims (smoke configs): match the UNet's
+            wcfg = WhisperConfig(n_audio_state=cad,
+                                 n_audio_head=max(1, cad // 8),
+                                 n_audio_layer=1)
         pipe = LipsyncPipeline(
             unet_params, vae_params,
             audio_encoder=Audio2Feature(wcfg), config=config,
