@@ -116,25 +116,46 @@ class BlindDegrader:
 
 
 class FFHQBlindSource:
-    """Dataset source: dir of face images → normalized (lq, gt) samples
-    (ref:basicsr/data/ffhq_blind_dataset.py)."""
+    """Dataset source: face images → normalized (lq, gt) samples
+    (ref:basicsr/data/ffhq_blind_dataset.py).
+
+    `image_dir` is a directory of loose images, or a basicsr-convention
+    `*.lmdb` environment (keys from meta_info.txt, PNG-encoded values —
+    ref:basicsr/utils/file_client.py io_backend 'lmdb'), read through
+    training/file_client.py's dependency-free LMDB reader."""
 
     def __init__(self, image_dir: str, config=BlindDegradationConfig(), seed: int = 0):
         import os
 
-        self.paths = sorted(
-            os.path.join(image_dir, f) for f in os.listdir(image_dir)
-            if f.lower().endswith((".png", ".jpg", ".jpeg"))
-        )
+        self._client = None
+        if image_dir.rstrip("/").endswith(".lmdb"):
+            from .file_client import FileClient, read_lmdb_meta
+
+            self._client = FileClient(
+                "lmdb", db_paths=image_dir, client_keys="gt")
+            self.paths = read_lmdb_meta(image_dir)
+        else:
+            self.paths = sorted(
+                os.path.join(image_dir, f) for f in os.listdir(image_dir)
+                if f.lower().endswith((".png", ".jpg", ".jpeg"))
+            )
         self.degrader = BlindDegrader(config, seed)
         self.rng = np.random.default_rng(seed)
         self.seed = seed
 
-    def sample(self):
+    def _read(self, path: str) -> np.ndarray:
         import cv2
 
+        if self._client is not None:
+            buf = np.frombuffer(self._client.get(path, "gt"), np.uint8)
+            img = cv2.imdecode(buf, cv2.IMREAD_COLOR)
+        else:
+            img = cv2.imread(path)
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+    def sample(self):
         path = self.paths[int(self.rng.integers(0, len(self.paths)))]
-        img = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
+        img = self._read(path)
         lq, gt = self.degrader(img)
         norm = lambda x: x.astype(np.float32) / 127.5 - 1.0
         return {"lq": norm(lq), "gt": norm(gt)}
