@@ -57,6 +57,13 @@ def similarity_from_points(
     c1, c2 = src.mean(0), dst.mean(0)
     s1 = np.std(src - c1)
     s2 = np.std(dst - c2)
+    if s1 < 1e-9 or s2 < 1e-9:
+        # degenerate anchors (all points coincide — e.g. a detector
+        # whiff on a flat frame) must not NaN the whole clip: fall back
+        # to pure translation at unit scale
+        m = np.array([[1.0, 0.0, c2[0] - c1[0]],
+                      [0.0, 1.0, c2[1] - c1[1]]], np.float64)
+        return m, (prev_bias if smooth else None)
     a = (src - c1) / s1
     b = (dst - c2) / s2
     u, _, vt = np.linalg.svd(a.T @ b)

