@@ -290,17 +290,19 @@ class _SelfAttnParams(nn.Module):
 
     query_dim: int
     inner: int
+    kv_dim: int = 0  # 0 → self-attention (kv from the query stream)
 
     @nn.compact
     def __call__(self):
         from ..ops.qconv import DenseParams
 
+        kv_dim = self.kv_dim or self.query_dim
         wq, _ = DenseParams(self.inner, use_bias=False,
                             name="to_q")(self.query_dim)
         wk, _ = DenseParams(self.inner, use_bias=False,
-                            name="to_k")(self.query_dim)
+                            name="to_k")(kv_dim)
         wv, _ = DenseParams(self.inner, use_bias=False,
-                            name="to_v")(self.query_dim)
+                            name="to_v")(kv_dim)
         wo, bo = DenseParams(self.query_dim, name="to_out_0")(self.inner)
         return wq, wk, wv, wo, bo
 
@@ -324,6 +326,30 @@ def _self_attn_composed(x, ls, lb, wq, wk, wv, wo, bo, heads, dtype,
     k = dense_with_params(h, wk, None, dtype)
     v = dense_with_params(h, wv, None, dtype)
     o = (temporal_attention if temporal else spatial_attention)(q, k, v, heads)
+    return x + dense_with_params(o, wo, bo, dtype)
+
+
+def _cross_attn_composed(x, ls, lb, ctx, wq, wk, wv, wo, bo, heads, dtype):
+    """Composed norm2 + attn2 + residual (the LATENTSYNC_INT8_DENSE /
+    LATENTSYNC_FUSED_ATTN=0 path — projections route through the int8
+    dense kernels when enabled, like _self_attn_composed)."""
+    from ..ops.qconv import dense_with_params
+
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    h = (xc * jax.lax.rsqrt(var + 1e-6) * ls + lb).astype(dtype)
+    ctx = ctx.astype(dtype)
+    inner = wq.shape[1]
+    d = inner // heads
+    b, s, _ = h.shape
+    q = dense_with_params(h, wq, None, dtype).reshape(b, s, heads, d)
+    k = dense_with_params(ctx, wk, None, dtype).reshape(
+        b, ctx.shape[1], heads, d)
+    v = dense_with_params(ctx, wv, None, dtype).reshape(
+        b, ctx.shape[1], heads, d)
+    o = dot_product_attention(q, k, v).reshape(b, s, inner)
     return x + dense_with_params(o, wo, bo, dtype)
 
 
@@ -357,12 +383,24 @@ class BasicTransformerBlock(nn.Module):
             x = _self_attn_composed(x.astype(self.dtype), ls, lb, wq, wk,
                                     wv, wo, bo, self.heads, self.dtype)
         if self.add_audio_layer and audio_context is not None:
-            h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
-            x = x + CrossAttention(
-                self.dim, self.heads, self.dim_head,
-                cross_attention_dim=self.cross_attention_dim,
-                dtype=self.dtype, name="attn2",
-            )(h, audio_context)
+            # norm2 + attn2 + residual as one fused program on TPU
+            # (ops/attn_block.cross_attention_block; ctx used raw like
+            # the reference) — same param tree as the module composition
+            from ..ops.attn_block import cross_attention_block
+
+            ls2, lb2 = LayerNormParams(name="norm2")(self.dim)
+            cwq, cwk, cwv, cwo, cbo = _SelfAttnParams(
+                self.dim, inner, kv_dim=self.cross_attention_dim or self.dim,
+                name="attn2")()
+            if fused_attn_block_enabled() and not int8_dense_mode():
+                x = cross_attention_block(
+                    x.astype(self.dtype), ls2, lb2,
+                    audio_context.astype(self.dtype),
+                    cwq, cwk, cwv, cwo, cbo, self.heads)
+            else:
+                x = _cross_attn_composed(
+                    x.astype(self.dtype), ls2, lb2, audio_context,
+                    cwq, cwk, cwv, cwo, cbo, self.heads, self.dtype)
         h = nn.LayerNorm(dtype=jnp.float32, name="norm3")(x).astype(self.dtype)
         return x + GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff")(h)
 

@@ -274,6 +274,170 @@ def _fused_bwd(heads, temporal, eps, scale, blk, interpret, res, g):
 _fused.defvjp(_fused_fwd, _fused_bwd)
 
 
+# ---------------------------------------------------------------------------
+# fused cross-attention block: x + OutProj(Attn(Q(LN(x)), K(ctx), V(ctx)))
+# — the audio conditioning path (ref:attention.py:167-171 norm2+attn2).
+# Context is used raw (no norm), matching the reference.
+# ---------------------------------------------------------------------------
+
+
+def _cross_kernel(x_ref, ctx_ref, ls_ref, lb_ref, wq_ref, wk_ref, wv_ref,
+                  wo_ref, bo_ref, o_ref, os_scr, *, heads, eps, scale):
+    x = x_ref[...]                              # (blk, S, C)
+    ctx = ctx_ref[...]                          # (blk, Sk, Cc)
+    blk, s, c = x.shape
+    sk = ctx.shape[1]
+    dt = x.dtype
+    h = _ln(x.astype(jnp.float32), ls_ref[...], lb_ref[...], eps).astype(dt)
+    inner = wq_ref.shape[1]
+    d = inner // heads
+    h2 = h.reshape(blk * s, c)
+    ctx2 = ctx.reshape(blk * sk, ctx.shape[2])
+
+    def mm(a, w_ref):
+        return jax.lax.dot_general(
+            a, w_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dt)
+
+    q = mm(h2, wq_ref).reshape(blk, s, inner)
+    k = mm(ctx2, wk_ref).reshape(blk, sk, inner)
+    v = mm(ctx2, wv_ref).reshape(blk, sk, inner)
+    for hh in range(heads):
+        sl = slice(hh * d, (hh + 1) * d)
+        logits = jax.lax.dot_general(
+            q[..., sl], k[..., sl], (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(dt)
+        os_scr[:, :, sl] = jax.lax.dot_general(
+            p, v[..., sl], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(dt)
+    res = jax.lax.dot_general(
+        os_scr[...].reshape(blk * s, inner), wo_ref[...],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + bo_ref[...]
+    o_ref[...] = (x.astype(jnp.float32)
+                  + res.reshape(blk, s, c)).astype(o_ref.dtype)
+
+
+def _xla_cross_block(x, ctx, ls, lb, wq, wk, wv, wo, bo, heads, eps, scale):
+    """Composed XLA lowering — off-TPU path and the autodiff rule."""
+    from .attention import dot_product_attention
+
+    dt = x.dtype
+    b, s, _ = x.shape
+    inner = wq.shape[1]
+    d = inner // heads
+    h = _ln(x.astype(jnp.float32), ls, lb, eps).astype(dt)
+    ctx = ctx.astype(dt)
+    q = (h @ wq.astype(dt)).reshape(b, s, heads, d)
+    k = (ctx @ wk.astype(dt)).reshape(b, ctx.shape[1], heads, d)
+    v = (ctx @ wv.astype(dt)).reshape(b, ctx.shape[1], heads, d)
+    o = dot_product_attention(q, k, v, scale=scale).reshape(b, s, inner)
+    return x + (o @ wo.astype(dt) + bo.astype(dt))
+
+
+def _pick_cross_block(b, s, sk, c, cc, inner, heads) -> int:
+    weights = (c * inner + 2 * cc * inner + inner * c) * 2
+    if weights > 8 * 2**20:
+        return 0
+    for blk in (64, 32, 16, 8, 4, 2, 1):
+        if b % blk:
+            continue
+        xbytes = blk * s * c * (2 + 4) + blk * sk * cc * 2
+        qkv = blk * (s + 2 * sk) * inner * 2 + blk * s * inner * 2
+        logits = blk * s * sk * 4 * 2
+        if weights + xbytes + qkv + logits <= 6 * 2**20:
+            return blk
+    return 0
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13))
+def _cross_fused(x, ctx, ls, lb, wq, wk, wv, wo, bo, heads, eps, scale, blk,
+                 interpret):
+    b, s, c = x.shape
+    sk, cc = ctx.shape[1:]
+    inner = wq.shape[1]
+
+    def kern(x_ref, ctx_ref, ls_ref, lb_ref, wq_ref, wk_ref, wv_ref, wo_ref,
+             bo_ref, o_ref, os_scr):
+        _cross_kernel(x_ref, ctx_ref, ls_ref, lb_ref, wq_ref, wk_ref,
+                      wv_ref, wo_ref, bo_ref, o_ref, os_scr,
+                      heads=heads, eps=eps, scale=scale)
+
+    full = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))  # noqa: E731
+    return pl.pallas_call(
+        kern,
+        grid=(b // blk,),
+        in_specs=[
+            pl.BlockSpec((blk, s, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((blk, sk, cc), lambda i: (i, 0, 0)),
+            full(1, c), full(1, c),
+            full(c, inner), full(cc, inner), full(cc, inner),
+            full(inner, c), full(1, c),
+        ],
+        out_specs=pl.BlockSpec((blk, s, c), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, s, c), x.dtype),
+        scratch_shapes=[pltpu.VMEM((blk, s, inner), x.dtype)],
+        interpret=interpret,
+    )(x, ctx, ls.reshape(1, c), lb.reshape(1, c), wq, wk, wv, wo,
+      bo.reshape(1, c))
+
+
+def _cross_fwd(x, ctx, ls, lb, wq, wk, wv, wo, bo, heads, eps, scale, blk,
+               interpret):
+    out = _cross_fused(x, ctx, ls, lb, wq, wk, wv, wo, bo, heads, eps,
+                       scale, blk, interpret)
+    return out, (x, ctx, ls, lb, wq, wk, wv, wo, bo)
+
+
+def _cross_bwd(heads, eps, scale, blk, interpret, res, g):
+    x, ctx, ls, lb, wq, wk, wv, wo, bo = res
+    _, vjp = jax.vjp(
+        lambda x, ctx, ls, lb, wq, wk, wv, wo, bo: _xla_cross_block(
+            x, ctx, ls, lb, wq, wk, wv, wo, bo, heads, eps, scale),
+        x, ctx, ls, lb, wq, wk, wv, wo, bo)
+    return vjp(g)
+
+
+_cross_fused.defvjp(_cross_fwd, _cross_bwd)
+
+
+def cross_attention_block(x, ln_scale, ln_bias, ctx, wq, wk, wv, wo, bo,
+                          heads, *, eps: float = 1e-6,
+                          interpret: bool = False):
+    """x: (B, S, C), ctx: (B, Sk, Cc) →
+    x + OutProj(Attn(Q(LN(x)), K(ctx), V(ctx))).
+
+    The audio cross-attention block (norm2 + attn2 + residual,
+    ref:attention.py:167-171,202-280) as one Pallas program; same
+    fallback/AD policy as self_attention_block."""
+    b, s, c = x.shape
+    sk, cc = ctx.shape[1:]
+    inner = wq.shape[1]
+    d = inner // heads
+    scale = 1.0 / math.sqrt(d)
+    blk = _pick_cross_block(b, s, sk, c, cc, inner, heads)
+    size_ok = 16 <= s <= 1024 and sk >= 8
+    # measured SLOWER than the composed lowering at the audio shapes
+    # (bench r4: exact 11.39 → 11.03 fps — Sk=50 per-head matmuls at
+    # 39% lane util lose to XLA's batched GEMMs), so OPT-IN only
+    # (LATENTSYNC_FUSED_XATTN=1) pending a head-batched rework
+    opted_in = os.environ.get("LATENTSYNC_FUSED_XATTN", "0") == "1"
+    ok = (pltpu is not None and blk > 0
+          and (interpret or (opted_in and _on_tpu() and size_ok)))
+    if not ok:
+        return _xla_cross_block(x, ctx, ln_scale, ln_bias, wq, wk, wv, wo,
+                                bo, heads, eps, scale)
+    dt = x.dtype
+    return _cross_fused(x, ctx.astype(dt), ln_scale.astype(jnp.float32),
+                        ln_bias.astype(jnp.float32), wq.astype(dt),
+                        wk.astype(dt), wv.astype(dt), wo.astype(dt),
+                        bo.astype(jnp.float32), heads, eps, scale, blk,
+                        interpret)
+
+
 def self_attention_block(x, ln_scale, ln_bias, wq, wk, wv, wo, bo, heads,
                          *, temporal: bool = False, pe=None,
                          eps: float = 1e-6, interpret: bool = False):

@@ -271,6 +271,102 @@ def _pick_qkv_bm(m: int, c: int, inner: int) -> int:
     return 0
 
 
+# ---------------------------------------------------------------------------
+# int8-STORED-activation GEGLU prototype (VERDICT r3 #1c): x arrives as
+# int8 + rowwise scales and the result leaves as int8 + rowwise scales,
+# so the op's HBM traffic is halved end to end — the audit's named
+# remaining v5e dense lever ("a real dense int8 win on v5e would require
+# int8 activations stored between ops", docs/perf_audit.md). Weights stay
+# bf16 (they are resident across the grid; quantizing them changes
+# numerics for no bandwidth win here). EXPERIMENTAL: shipped for the
+# micro_probe --which ffn8 measurement and as the building block of a
+# model-wide int8 activation format; not wired into the UNet.
+# ---------------------------------------------------------------------------
+
+
+def _geglu_i8_kernel(xi_ref, xs_ref, wv_ref, wg_ref, bv_ref, bg_ref, wd_ref,
+                     bd_ref, oi_ref, os_ref, acc_ref, *, n_inner):
+    j = pl.program_id(1)
+    x = (xi_ref[...].astype(jnp.float32)
+         * xs_ref[...]).astype(jnp.bfloat16)     # dequant in VMEM
+    val = jax.lax.dot_general(
+        x, wv_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + bv_ref[...]
+    gate = jax.lax.dot_general(
+        x, wg_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + bg_ref[...]
+    h = val * (0.5 * gate * (1.0 + _erf_f32(gate * (1.0 / math.sqrt(2.0)))))
+    part = jax.lax.dot_general(
+        h.astype(jnp.bfloat16), wd_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[...] = part + bd_ref[...]
+
+    @pl.when(j > 0)
+    def _acc():
+        acc_ref[...] += part
+
+    @pl.when(j == n_inner - 1)
+    def _emit():
+        res = acc_ref[...]
+        s = jnp.max(jnp.abs(res), axis=-1, keepdims=True) / 127.0 + 1e-12
+        oi_ref[...] = jnp.round(res / s).astype(jnp.int8)  # quant in VMEM
+        os_ref[...] = s
+
+
+@functools.partial(jax.jit, static_argnames=("bm", "bi", "interpret"))
+def geglu_ffn_int8io(x_i8, x_scale, w_up, b_up, w_down, b_down,
+                     bm: int = 0, bi: int = 0, interpret: bool = False):
+    """int8-in/int8-out fused GEGLU: (x_i8 (M, C), x_scale (M, 1)) →
+    (out_i8 (M, C), out_scale (M, 1)), rowwise symmetric quantization.
+    Layouts match geglu_ffn (w_up = [value | gate])."""
+    m, c = x_i8.shape
+    inner = w_up.shape[1] // 2
+    wv, wg = w_up[:, :inner].astype(jnp.bfloat16), \
+        w_up[:, inner:].astype(jnp.bfloat16)
+    bv, bg = b_up[:inner].astype(jnp.float32), \
+        b_up[inner:].astype(jnp.float32)
+    if not bm or not bi:
+        bm, bi = _pick_geglu_blocks(m, c, inner)
+    assert bm and bi, (m, c, inner)
+    n_inner = inner // bi
+    return pl.pallas_call(
+        functools.partial(_geglu_i8_kernel, n_inner=n_inner),
+        grid=(m // bm, n_inner),
+        in_specs=[
+            pl.BlockSpec((bm, c), lambda i, j: (i, 0)),
+            pl.BlockSpec((bm, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((c, bi), lambda i, j: (0, j)),
+            pl.BlockSpec((c, bi), lambda i, j: (0, j)),
+            pl.BlockSpec((1, bi), lambda i, j: (0, j)),
+            pl.BlockSpec((1, bi), lambda i, j: (0, j)),
+            pl.BlockSpec((bi, c), lambda i, j: (j, 0)),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0)),
+        ],
+        out_specs=[pl.BlockSpec((bm, c), lambda i, j: (i, 0)),
+                   pl.BlockSpec((bm, 1), lambda i, j: (i, 0))],
+        out_shape=[jax.ShapeDtypeStruct((m, c), jnp.int8),
+                   jax.ShapeDtypeStruct((m, 1), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bm, c), jnp.float32)] if pltpu else [],
+        compiler_params=(
+            pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"))
+            if pltpu is not None and not interpret else None
+        ),
+        interpret=interpret,
+    )(x_i8, x_scale, wv, wg, bv.reshape(1, -1), bg.reshape(1, -1),
+      w_down.astype(jnp.bfloat16), b_down.astype(jnp.float32).reshape(1, -1))
+
+
+def quantize_rowwise(x):
+    """f32/bf16 (M, C) → (int8, (M, 1) f32 scale), symmetric rowwise."""
+    s = (jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+         / 127.0 + 1e-12)
+    return jnp.round(x.astype(jnp.float32) / s).astype(jnp.int8), s
+
+
 def qkv_proj(x, wq, wk, wv, interpret: bool = False):
     """Self-attention q/k/v projection (no bias, matching the reference
     ref:latentsync/models/attention.py:202-236). x: (..., C) →

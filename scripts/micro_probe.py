@@ -434,6 +434,46 @@ def main():
                 print(json.dumps({"name": f"qkv_fused_M{m}_C{c}",
                                   "error": str(e)[:300]}), flush=True)
 
+    if which in ("all", "ffn8"):
+        # r4: int8-STORED-activation GEGLU prototype (VERDICT r3 #1c) —
+        # x arrives int8+rowwise scale and leaves int8+rowwise scale, so
+        # the op's HBM activation traffic halves vs the bf16 fused
+        # kernel. Chained (out feeds next iter), like activations
+        # flowing between ops would.
+        from latentsync_tpu.ops.ffn import (
+            geglu_ffn,
+            geglu_ffn_int8io,
+            quantize_rowwise,
+        )
+
+        for s_hw, c in ((1024, 320), (256, 640)):
+            m = bf * s_hw
+            inner = 4 * c
+            x = jnp.asarray(rng.standard_normal((m, c)), dt)
+            w_up = jnp.asarray(rng.standard_normal((c, 2 * inner)) * 0.02, dt)
+            b_up = jnp.zeros((2 * inner,), jnp.float32)
+            w_dn = jnp.asarray(rng.standard_normal((inner, c)) * 0.02, dt)
+            b_dn = jnp.zeros((c,), jnp.float32)
+            fl = 2 * m * c * 2 * inner + 2 * m * inner * c
+
+            def ff_bf16(y, w_up=w_up, b_up=b_up, w_dn=w_dn, b_dn=b_dn):
+                return geglu_ffn(y, w_up, b_up, w_dn, b_dn).astype(dt)
+
+            bench_loop(f"geglu_bf16io_M{m}_C{c}", ff_bf16, x, fl,
+                       iters=args.iters)
+
+            def ff_i8(carry, w_up=w_up, b_up=b_up, w_dn=w_dn, b_dn=b_dn):
+                xi, xs = carry
+                return geglu_ffn_int8io(xi, xs, w_up, b_up, w_dn, b_dn)
+
+            try:
+                bench_loop(f"geglu_int8io_M{m}_C{c}", ff_i8,
+                           tuple(quantize_rowwise(x)), fl,
+                           iters=args.iters)
+            except Exception as e:
+                print(json.dumps({"name": f"geglu_int8io_M{m}_C{c}",
+                                  "error": str(e)[:300]}), flush=True)
+
     if which in ("all", "qmm"):
         # the fused Pallas int8 matmul (ops/qmm): does keeping the
         # activation quantize + int32 dequant in VMEM recover the MXU

@@ -95,3 +95,46 @@ def test_temporal_matches_module_semantics():
     want = x + (o @ wo + bo)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_cross_block_matches_composed():
+    """Fused audio cross-attention block (LN + Q(h)/K(ctx)/V(ctx) +
+    out-proj + residual) vs the composed lowering."""
+    from latentsync_tpu.ops.attn_block import (
+        _cross_fused,
+        _xla_cross_block,
+        cross_attention_block,
+    )
+
+    rng = np.random.default_rng(3)
+    b, s, c, cc, sk, heads = 4, 64, 32, 16, 10, 4
+    x = jnp.asarray(rng.standard_normal((b, s, c)), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((b, sk, cc)), jnp.float32)
+    ls, lb, wq, _, _, wo, bo = _params(rng, c, c)
+    wk = jnp.asarray(rng.standard_normal((cc, c)) * 0.05, jnp.float32)
+    wv = jnp.asarray(rng.standard_normal((cc, c)) * 0.05, jnp.float32)
+    scale = 1.0 / np.sqrt(c // heads)
+
+    got = _cross_fused(x, ctx, ls, lb, wq, wk, wv, wo, bo, heads, 1e-6,
+                       scale, 2, True)
+    want = _xla_cross_block(x, ctx, ls, lb, wq, wk, wv, wo, bo, heads,
+                            1e-6, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+    out = cross_attention_block(x, ls, lb, ctx, wq, wk, wv, wo, bo, heads,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+    def loss(wk):
+        return jnp.sum(cross_attention_block(
+            x, ls, lb, ctx, wq, wk, wv, wo, bo, heads, interpret=True) ** 2)
+
+    def loss_ref(wk):
+        return jnp.sum(_xla_cross_block(
+            x, ctx, ls, lb, wq, wk, wv, wo, bo, heads, 1e-6, scale) ** 2)
+
+    np.testing.assert_allclose(np.asarray(jax.grad(loss)(wk)),
+                               np.asarray(jax.grad(loss_ref)(wk)),
+                               rtol=2e-4, atol=2e-4)

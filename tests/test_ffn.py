@@ -124,3 +124,36 @@ def test_qkv_fused_matches_xla_and_grads():
     np.testing.assert_allclose(np.asarray(jax.grad(loss)(wq)),
                                np.asarray(jax.grad(loss_ref)(wq)),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_geglu_int8io_prototype_accuracy():
+    """int8-in/int8-out GEGLU (interpret mode): result within rowwise
+    int8 quantization error of the float composition."""
+    from latentsync_tpu.ops.ffn import (
+        _geglu_xla,
+        geglu_ffn_int8io,
+        quantize_rowwise,
+    )
+
+    rng = np.random.default_rng(5)
+    m, c = 256, 128
+    inner = 4 * c
+    x = jnp.asarray(rng.standard_normal((m, c)), jnp.float32)
+    w_up = jnp.asarray(rng.standard_normal((c, 2 * inner)) * 0.05, jnp.float32)
+    b_up = jnp.asarray(rng.standard_normal((2 * inner,)) * 0.05, jnp.float32)
+    w_dn = jnp.asarray(rng.standard_normal((inner, c)) * 0.05, jnp.float32)
+    b_dn = jnp.asarray(rng.standard_normal((c,)) * 0.05, jnp.float32)
+
+    xi, xs = quantize_rowwise(x)
+    oi, os_ = geglu_ffn_int8io(xi, xs, w_up, b_up, w_dn, b_dn,
+                               bm=128, bi=128, interpret=True)
+    got = np.asarray(oi, np.float32) * np.asarray(os_)
+
+    want = np.asarray(_geglu_xla(
+        (np.asarray(xi, np.float32) * np.asarray(xs)).astype(np.float32),
+        w_up[:, :inner], w_up[:, inner:], b_up[:inner], b_up[inner:],
+        w_dn, b_dn))
+    # output quantization: rowwise max/127 ⇒ rel error ≤ ~1/254 of the
+    # row max, plus bf16 matmul noise
+    tol = np.abs(want).max(axis=-1, keepdims=True) / 127.0 + 0.02
+    assert np.all(np.abs(got - want) <= tol)
