@@ -784,15 +784,45 @@ class LipsyncPipeline:
         crop_hws = [
             (int(b[3] - b[1]), int(b[2] - b[0])) for b in boxes[:total]
         ]
-        decode_s = restore_s = 0.0
-        for sl, dev in pieces:
+        # chunk fetches run on a PREFETCH THREAD: the tunnel transfer of
+        # chunk i+1 (transport-bound, ~7 s/clip measured r4) proceeds
+        # while the host restores chunk i (CPU-bound, ~6 s/clip) — the
+        # two stage timers then measure per-thread busy time, so
+        # vae_decode + restore > decode_restore_total iff the overlap
+        # actually engaged (the bench's e2e_overlap_s proof).
+        import queue as _queue
+        import threading
+
+        fetch_q: "_queue.Queue" = _queue.Queue(maxsize=2)
+        fetch_busy = [0.0]
+
+        def fetcher():
+            busy = 0.0
+            try:
+                for sl, dev in pieces:
+                    tc = time.time()
+                    dec_u8 = np.asarray(dev)[: sl.stop - sl.start]
+                    busy += time.time() - tc
+                    fetch_q.put((sl, dec_u8))
+                fetch_q.put(None)
+            except Exception as e:  # noqa: BLE001 — re-raised on consume
+                fetch_q.put(e)
+            fetch_busy[0] = busy
+
+        fetch_thread = threading.Thread(target=fetcher, daemon=True)
+        fetch_thread.start()
+
+        restore_s = 0.0
+        while True:
+            item = fetch_q.get()
+            if item is None:
+                break
+            if isinstance(item, Exception):
+                raise item
+            sl, dec_u8 = item
             tc = time.time()
-            dec_u8 = np.asarray(dev)[: sl.stop - sl.start]
             m = m_all[sl]
             combined = (dec_u8 * (1.0 - m) + pix_u8[sl] * m).astype(np.uint8)
-            decode_s += time.time() - tc
-
-            tc = time.time()
             # each decoded face resizes to ITS OWN box before the inverse
             # warp; the repo detector emits one constant box per clip, but
             # precomputed bundles may carry real per-frame boxes — group
@@ -808,7 +838,8 @@ class LipsyncPipeline:
                 )
                 out_frames[idx_arr] = restored
             restore_s += time.time() - tc
-        timings["vae_decode"] = decode_s
+        fetch_thread.join()
+        timings["vae_decode"] = fetch_busy[0]
         timings["restore"] = restore_s
         timings["decode_restore_total"] = float(time.time() - t0)
 

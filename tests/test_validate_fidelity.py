@@ -50,15 +50,32 @@ def test_unknown_token_rejected():
         _set_fast_env("int8,fp4")
 
 
+class _KnobStub:
+    """Minimal stand-in for the pipeline instance: _flop_cut_knobs became
+    an instance method in r4 (it validates dc_depth against the config's
+    block count)."""
+
+    def __init__(self):
+        from latentsync_tpu.config import LatentSyncConfig
+
+        self.config = LatentSyncConfig()
+
+
+def _knobs(num_steps):
+    from latentsync_tpu.pipelines.lipsync import LipsyncPipeline
+
+    return LipsyncPipeline._flop_cut_knobs(_KnobStub(), num_steps)
+
+
 def test_parsed_spec_matches_pipeline_knob_semantics():
     # the spec written here must round-trip through the pipeline's
     # parser to the intended (interval, depth, lo, hi)
     from latentsync_tpu.pipelines.lipsync import LipsyncPipeline
 
     _set_fast_env("deepcache=2:1,cfg=0:0.5")
-    assert LipsyncPipeline._flop_cut_knobs(20) == (2, 1, False, 0, 0, 10)
+    assert _knobs(20) == (2, 1, False, 0, 0, 10)
     _clear_fast_env()
-    assert LipsyncPipeline._flop_cut_knobs(20) == (0, 0, False, 0, 0, 20)
+    assert _knobs(20) == (0, 0, False, 0, 0, 20)
 
 
 def test_ladder_specs_parse_and_are_ordered():
@@ -72,7 +89,7 @@ def test_ladder_specs_parse_and_are_ordered():
     prev = None
     for spec in LADDER:
         _set_fast_env(spec)
-        knobs = LipsyncPipeline._flop_cut_knobs(20)
+        knobs = _knobs(20)
         interval, depth, enc, sub = knobs[0], knobs[1], knobs[2], knobs[3]
         assert interval >= 0 and depth >= 0 and sub >= 0
         key = (interval, int(enc), sub)
