@@ -252,7 +252,12 @@ class GEGLUFeedForward(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, ln=None):
+        """ln=(scale, bias): fold the preceding LayerNorm INTO the fused
+        kernel and return x + FF(LN(x)) — norm + FF + residual as one
+        program (the pallas boundary otherwise forces the normalized
+        activations and the residual add through HBM). Without ln, plain
+        FF(x) for pre-normalized input."""
         from ..ops.ffn import fused_ffn_enabled, geglu_ffn
         from ..ops.qconv import DenseParams, dense_with_params, int8_dense_mode
 
@@ -266,11 +271,23 @@ class GEGLUFeedForward(nn.Module):
         k0, b0 = DenseParams(inner * 2, name="net_0_proj")(x.shape[-1])
         k2, b2 = DenseParams(self.dim, name="net_2")(inner)
         if fused_ffn_enabled() and not int8_dense_mode():
-            return geglu_ffn(x.astype(self.dtype), k0, b0, k2, b2)
-        h = dense_with_params(x, k0, b0, self.dtype)
-        value, gate = jnp.split(h, 2, axis=-1)
-        h = value * nn.gelu(gate, approximate=False)
-        return dense_with_params(h, k2, b2, self.dtype)
+            ls, lb = (None, None) if ln is None else ln
+            return geglu_ffn(x.astype(self.dtype), k0, b0, k2, b2,
+                             ln_scale=ls, ln_bias=lb,
+                             residual=ln is not None)
+        h = x.astype(self.dtype)
+        if ln is not None:
+            xf = x.astype(jnp.float32)
+            mu = jnp.mean(xf, axis=-1, keepdims=True)
+            xc = xf - mu
+            var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+            h = (xc * jax.lax.rsqrt(var + 1e-6) * ln[0]
+                 + ln[1]).astype(self.dtype)
+        ff = dense_with_params(h, k0, b0, self.dtype)
+        value, gate = jnp.split(ff, 2, axis=-1)
+        ff = dense_with_params(value * nn.gelu(gate, approximate=False),
+                               k2, b2, self.dtype)
+        return x + ff if ln is not None else ff
 
 
 class LayerNormParams(nn.Module):
@@ -401,8 +418,10 @@ class BasicTransformerBlock(nn.Module):
                 x = _cross_attn_composed(
                     x.astype(self.dtype), ls2, lb2, audio_context,
                     cwq, cwk, cwv, cwo, cbo, self.heads, self.dtype)
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm3")(x).astype(self.dtype)
-        return x + GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff")(h)
+        # norm3 + FF + residual fold into the fused GEGLU program
+        ls3, lb3 = LayerNormParams(name="norm3")(self.dim)
+        return GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff")(
+            x.astype(self.dtype), ln=(ls3, lb3))
 
 
 class SpatialTransformer(nn.Module):
@@ -525,10 +544,10 @@ class TemporalModule(nn.Module):
                     _self_attn_composed, dtype=self.dtype)
                 h = fn(h.astype(self.dtype), ls, lb, wq, wk, wv, wo, bo,
                        heads, temporal=True, pe=pe)
-            hn = nn.LayerNorm(dtype=jnp.float32, name=f"{blk}_ff_norm")(h)
-            h = h + GEGLUFeedForward(inner, dtype=self.dtype, name=f"{blk}_ff")(
-                hn.astype(self.dtype)
-            )
+            lsf, lbf = LayerNormParams(name=f"{blk}_ff_norm")(inner)
+            h = GEGLUFeedForward(inner, dtype=self.dtype,
+                                 name=f"{blk}_ff")(
+                h.astype(self.dtype), ln=(lsf, lbf))
 
         h = h.reshape(b, s, f, inner).transpose(0, 2, 1, 3).reshape(b * f, s, inner)
 

@@ -79,10 +79,23 @@ def _erf_f32(x):
     return s * (1.0 - poly * jnp.exp(-ax * ax))
 
 
-def _geglu_kernel(x_ref, wv_ref, wg_ref, bv_ref, bg_ref, wd_ref, bd_ref,
-                  o_ref, acc_ref, *, n_inner):
+def _geglu_kernel(x_ref, ls_ref, lb_ref, wv_ref, wg_ref, bv_ref, bg_ref,
+                  wd_ref, bd_ref, o_ref, acc_ref, *, n_inner, has_ln,
+                  residual, eps):
     j = pl.program_id(1)
-    x = x_ref[...]  # (bm, C)
+    xr = x_ref[...]  # (bm, C)
+    if has_ln:
+        # norm-in-kernel (the pallas boundary blocks XLA from fusing the
+        # preceding LayerNorm in): f32 stats, recomputed per inner step
+        # (VPU-cheap next to the (bm, bi) matmuls)
+        xf = xr.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        xc = xf - mu
+        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+        x = (xc * jax.lax.rsqrt(var + eps) * ls_ref[...]
+             + lb_ref[...]).astype(xr.dtype)
+    else:
+        x = xr
     val = jax.lax.dot_general(
         x, wv_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -109,7 +122,10 @@ def _geglu_kernel(x_ref, wv_ref, wg_ref, bv_ref, bg_ref, wd_ref, bd_ref,
 
     @pl.when(j == n_inner - 1)
     def _emit():
-        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+        res = acc_ref[...]
+        if residual:
+            res = res + xr.astype(jnp.float32)
+        o_ref[...] = res.astype(o_ref.dtype)
 
 
 def _pick_geglu_blocks(m: int, c: int, inner: int) -> tuple[int, int]:
@@ -130,17 +146,21 @@ def _pick_geglu_blocks(m: int, c: int, inner: int) -> tuple[int, int]:
     return 0, 0
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
-def _geglu_fused(x2d, wv, wg, bv, bg, wd, bd, bm, bi, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13, 14))
+def _geglu_fused(x2d, ls, lb, wv, wg, bv, bg, wd, bd, bm, bi, has_ln,
+                 residual, eps, interpret):
     m, c = x2d.shape
     inner = wv.shape[1]
     n_inner = inner // bi
     grid = (m // bm, n_inner)
     return pl.pallas_call(
-        functools.partial(_geglu_kernel, n_inner=n_inner),
+        functools.partial(_geglu_kernel, n_inner=n_inner, has_ln=has_ln,
+                          residual=residual, eps=eps),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bm, c), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0)),
             pl.BlockSpec((c, bi), lambda i, j: (0, j)),
             pl.BlockSpec((c, bi), lambda i, j: (0, j)),
             pl.BlockSpec((1, bi), lambda i, j: (0, j)),
@@ -157,8 +177,8 @@ def _geglu_fused(x2d, wv, wg, bv, bg, wd, bd, bm, bi, interpret):
             if pltpu is not None and not interpret else None
         ),
         interpret=interpret,
-    )(x2d, wv, wg, bv.reshape(1, -1), bg.reshape(1, -1), wd,
-      bd.reshape(1, -1))
+    )(x2d, ls.reshape(1, -1), lb.reshape(1, -1), wv, wg,
+      bv.reshape(1, -1), bg.reshape(1, -1), wd, bd.reshape(1, -1))
 
 
 def _geglu_xla(x2d, wv, wg, bv, bg, wd, bd):
@@ -169,43 +189,74 @@ def _geglu_xla(x2d, wv, wg, bv, bg, wd, bd):
     return h @ wd.astype(dt) + bd.astype(dt)
 
 
-def _geglu_fwd(x2d, wv, wg, bv, bg, wd, bd, bm, bi, interpret):
-    out = _geglu_fused(x2d, wv, wg, bv, bg, wd, bd, bm, bi, interpret)
-    return out, (x2d, wv, wg, bv, bg, wd, bd)
+def _geglu_xla_full(x2d, ls, lb, wv, wg, bv, bg, wd, bd, has_ln, residual,
+                    eps):
+    h = x2d
+    if has_ln:
+        xf = x2d.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        xc = xf - mu
+        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+        h = (xc * jax.lax.rsqrt(var + eps) * ls + lb).astype(x2d.dtype)
+    out = _geglu_xla(h, wv, wg, bv, bg, wd, bd)
+    if residual:
+        out = (x2d.astype(jnp.float32)
+               + out.astype(jnp.float32)).astype(x2d.dtype)
+    return out
 
 
-def _geglu_bwd(bm, bi, interpret, res, g):
-    x2d, wv, wg, bv, bg, wd, bd = res
-    _, vjp = jax.vjp(_geglu_xla, x2d, wv, wg, bv, bg, wd, bd)
+def _geglu_fwd(x2d, ls, lb, wv, wg, bv, bg, wd, bd, bm, bi, has_ln,
+               residual, eps, interpret):
+    out = _geglu_fused(x2d, ls, lb, wv, wg, bv, bg, wd, bd, bm, bi,
+                       has_ln, residual, eps, interpret)
+    return out, (x2d, ls, lb, wv, wg, bv, bg, wd, bd)
+
+
+def _geglu_bwd(bm, bi, has_ln, residual, eps, interpret, res, g):
+    x2d, ls, lb, wv, wg, bv, bg, wd, bd = res
+    _, vjp = jax.vjp(
+        lambda x2d, ls, lb, wv, wg, bv, bg, wd, bd: _geglu_xla_full(
+            x2d, ls, lb, wv, wg, bv, bg, wd, bd, has_ln, residual, eps),
+        x2d, ls, lb, wv, wg, bv, bg, wd, bd)
     return vjp(g)
 
 
 _geglu_fused.defvjp(_geglu_fwd, _geglu_bwd)
 
 
-def geglu_ffn(x, w_up, b_up, w_down, b_down, interpret: bool = False):
+def geglu_ffn(x, w_up, b_up, w_down, b_down, ln_scale=None, ln_bias=None,
+              residual: bool = False, eps: float = 1e-6,
+              interpret: bool = False):
     """GEGLU feed-forward with the (M, 4C) hidden resident in VMEM.
 
     x: (..., C); w_up: (C, 8C) laid out [value | gate] (the layout of
     GEGLUFeedForward's net_0_proj / diffusers GEGLU); w_down: (4C, C).
     Splitting w_up happens at trace time and touches weight bytes only.
-    """
+
+    ln_scale/ln_bias fold the preceding LayerNorm into the kernel and
+    `residual` adds x back at emit (norm + FF + residual as one program
+    — otherwise the pallas boundary forces both through HBM)."""
     c = x.shape[-1]
     inner = w_up.shape[1] // 2
     x2d = x.reshape(-1, c)
     m = x2d.shape[0]
     dt = x.dtype
+    has_ln = ln_scale is not None
+    ls = (ln_scale if has_ln else jnp.ones((c,))).astype(jnp.float32)
+    lb = (ln_bias if has_ln else jnp.zeros((c,))).astype(jnp.float32)
     wv, wg = w_up[:, :inner], w_up[:, inner:]
     bv, bg = b_up[:inner], b_up[inner:]
     bm, bi = _pick_geglu_blocks(m, c, inner)
     usable = pltpu is not None and (interpret or _on_tpu()) and bm > 0
     if not usable:
-        out = _geglu_xla(x2d, wv, wg, bv, bg, w_down, b_down)
+        out = _geglu_xla_full(x2d, ls, lb, wv, wg, bv, bg, w_down, b_down,
+                              has_ln, residual, eps)
         return out.reshape(x.shape[:-1] + (c,))
     out = _geglu_fused(
-        x2d, wv.astype(dt), wg.astype(dt), bv.astype(jnp.float32),
+        x2d, ls, lb, wv.astype(dt), wg.astype(dt), bv.astype(jnp.float32),
         bg.astype(jnp.float32), w_down.astype(dt),
-        b_down.astype(jnp.float32), bm, bi, interpret)
+        b_down.astype(jnp.float32), bm, bi, has_ln, residual, eps,
+        interpret)
     return out.reshape(x.shape[:-1] + (c,))
 
 

@@ -157,3 +157,43 @@ def test_geglu_int8io_prototype_accuracy():
     # row max, plus bf16 matmul noise
     tol = np.abs(want).max(axis=-1, keepdims=True) / 127.0 + 0.02
     assert np.all(np.abs(got - want) <= tol)
+
+
+def test_geglu_ln_residual_fold():
+    """norm + FF + residual folded into the kernel == composed LN → FF
+    → +x, forward and grad (interpret mode)."""
+    from latentsync_tpu.ops.ffn import geglu_ffn
+
+    rng = np.random.default_rng(7)
+    m, c = 256, 128
+    inner = 4 * c
+    x = jnp.asarray(rng.standard_normal((m, c)), jnp.float32)
+    ls = jnp.asarray(rng.standard_normal((c,)) * 0.1 + 1.0, jnp.float32)
+    lb = jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32)
+    w_up = jnp.asarray(rng.standard_normal((c, 2 * inner)) * 0.05, jnp.float32)
+    b_up = jnp.asarray(rng.standard_normal((2 * inner,)) * 0.05, jnp.float32)
+    w_dn = jnp.asarray(rng.standard_normal((inner, c)) * 0.05, jnp.float32)
+    b_dn = jnp.asarray(rng.standard_normal((c,)) * 0.05, jnp.float32)
+
+    def composed(x, w_up):
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(-1, keepdims=True)
+        xc = xf - mu
+        var = (xc * xc).mean(-1, keepdims=True)
+        h = xc * jax.lax.rsqrt(var + 1e-6) * ls + lb
+        val = h @ w_up[:, :inner] + b_up[:inner]
+        gate = h @ w_up[:, inner:] + b_up[inner:]
+        return x + (val * jax.nn.gelu(gate, approximate=False)) @ w_dn + b_dn
+
+    got = geglu_ffn(x, w_up, b_up, w_dn, b_dn, ln_scale=ls, ln_bias=lb,
+                    residual=True, interpret=True)
+    want = composed(x, w_up)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+    g1 = jax.grad(lambda w: jnp.sum(geglu_ffn(
+        x, w, b_up, w_dn, b_dn, ln_scale=ls, ln_bias=lb, residual=True,
+        interpret=True) ** 2))(w_up)
+    g2 = jax.grad(lambda w: jnp.sum(composed(x, w) ** 2))(w_up)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=2e-4, atol=2e-4)
