@@ -238,7 +238,8 @@ def main():
         sync(ref_lat)
         stage_ms["vae_encode"] = round((time.perf_counter() - t0) * 1e3, 1)
         t0 = time.perf_counter()
-        lat_out = denoise(pipe.unet_params, latents0, mask, masked_lat, ref_lat, audio)
+        lat_out = pipe._denoise_fn(steps, guidance, True)(
+            pipe.unet_params, latents0, mask, masked_lat, ref_lat, audio)
         sync(lat_out)
         stage_ms["denoise_20steps"] = round((time.perf_counter() - t0) * 1e3, 1)
         t0 = time.perf_counter()

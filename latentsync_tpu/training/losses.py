@@ -20,8 +20,14 @@ import jax.numpy as jnp
 def cosine_bce_loss(vision_embeds, audio_embeds, labels, eps: float = 1e-7):
     """BCE(cos_sim(v, a), y) per sample. Embeddings are unit vectors so
     cos-sim is a dot product; clipping mirrors torch BCELoss input-domain
-    behavior on the [-1, 1] similarity."""
-    sims = jnp.sum(vision_embeds * audio_embeds, axis=-1)
+    behavior on the [-1, 1] similarity.
+
+    The similarity is accumulated in f32 regardless of the embedding
+    dtype (the f32-norms/softmax mixed-precision policy of unet3d):
+    near-collapsed bf16 embeddings round cos to exactly 1.0, where the
+    clip's zero gradient freezes training permanently."""
+    sims = jnp.sum(vision_embeds.astype(jnp.float32)
+                   * audio_embeds.astype(jnp.float32), axis=-1)
     p = jnp.clip(sims, eps, 1.0 - eps)
     y = labels.astype(jnp.float32)
     return -(y * jnp.log(p) + (1.0 - y) * jnp.log(1.0 - p))

@@ -65,7 +65,8 @@ class SyncNetTrainer:
             v_emb, a_emb = model.apply(
                 params, batch["vision"].astype(self.dtype), batch["mel"].astype(self.dtype)
             )
-            sims = jnp.sum(v_emb * a_emb, axis=-1)
+            sims = jnp.sum(v_emb.astype(jnp.float32)
+                           * a_emb.astype(jnp.float32), axis=-1)
             loss = jnp.mean(cosine_bce_loss(v_emb, a_emb, batch["y"]))
             # threshold accuracy (ref:eval/eval_syncnet_acc.py: cos-sim ≥ 0.5)
             pred = (sims >= 0.5).astype(jnp.float32)

@@ -93,12 +93,12 @@ SYNCNET_CFG = """
 syncnet:
   audio_encoder:
     in_channels: 1
-    block_out_channels: [4, 4, 8, 8, 16, 16, 32]
+    block_out_channels: [4, 4, 8, 8, 16, 16, 128]
     downsample_factors: [[2, 1], 2, 2, 1, 2, 2, [2, 3]]
     attn_blocks: [0, 0, 0, 1, 1, 0, 0]
   visual_encoder:
     in_channels: 48
-    block_out_channels: [4, 4, 8, 8, 16, 16, 32, 32]
+    block_out_channels: [4, 4, 8, 8, 16, 16, 32, 128]
     downsample_factors: [[1, 2], 2, 2, 2, 2, 2, 2, 2]
     attn_blocks: [0, 0, 0, 0, 1, 1, 0, 0]
 data:

@@ -91,9 +91,12 @@ def main():
             params = jax.tree.map(
                 lambda x, t: jax.device_put(jnp.asarray(x), t.sharding),
                 restored["params"], params)
+            # NOT t.sharding: the eager tx.init template has ex-nihilo
+            # leaves (adam count) committed to device 0, clashing with
+            # mesh-replicated params inside jit (see train_unet.py).
             opt_state = jax.tree.map(
-                lambda x, t: jax.device_put(jnp.asarray(x), t.sharding),
-                restored["opt_state"], opt_state)
+                lambda x: jax.device_put(jnp.asarray(x), replicated(mesh)),
+                restored["opt_state"])
             aux = restored.get("aux", {})
             train_hist = [tuple(r) for r in
                           np.asarray(aux.get("train_hist", [])).tolist()]

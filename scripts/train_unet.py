@@ -110,9 +110,13 @@ def main():
             unet_params = jax.tree.map(
                 lambda x, t: jax.device_put(jnp.asarray(x), t.sharding),
                 restored["params"], unet_params)
+            # NOT t.sharding: tx.init runs eagerly, so leaves it creates
+            # ex nihilo (e.g. adam's count) sit committed on device 0 —
+            # restoring onto that sharding clashes with the mesh-wide
+            # params inside jit. All train state is replicated under dp.
             opt_state = jax.tree.map(
-                lambda x, t: jax.device_put(jnp.asarray(x), t.sharding),
-                restored["opt_state"], opt_state)
+                lambda x: jax.device_put(jnp.asarray(x), r_shard),
+                restored["opt_state"])
             global_step = int(os.path.basename(ckpt).split("_")[-1])
             print(json.dumps({"resumed_from": ckpt, "step": global_step}))
 
