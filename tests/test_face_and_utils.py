@@ -134,6 +134,27 @@ def test_cosine_bce_loss_limits():
     assert (losses_w > 5).all()
 
 
+def test_cosine_bce_loss_bf16_embeddings_keep_gradient():
+    """Near-collapsed bf16 embeddings must not saturate the similarity
+    to exactly 1.0 (the clip's zero gradient would freeze training —
+    r4 regression): the dot is accumulated in f32."""
+    import jax
+
+    # two nearly identical bf16 unit vectors: bf16 dot rounds to 1.0,
+    # f32 dot stays strictly below
+    v = jnp.asarray([[0.7071, 0.7071, 0.0, 0.0]], jnp.bfloat16)
+    a = jnp.asarray([[0.7070, 0.7072, 0.004, 0.0]], jnp.bfloat16)
+    y = jnp.asarray([0.0])
+
+    def mean_loss(vv):
+        return jnp.mean(cosine_bce_loss(vv, a, y))
+
+    g = np.asarray(jax.grad(mean_loss)(v).astype(jnp.float32))
+    assert np.abs(g).max() > 0.0, "gradient died on a y=0 near-collapse"
+    loss = float(np.asarray(mean_loss(v)))
+    assert loss > 1.0  # wrong-label high-sim pair is strongly penalized
+
+
 def test_mixed_noise_statistics():
     import jax
 
