@@ -362,6 +362,13 @@ def load_unet_config(path: str) -> "LatentSyncConfig":
         "data": data.get("data", {}),
         "run": run,
     }
+    # stage-2 trains against a frozen SyncNet whose dims the stage YAML
+    # may pin (the reference passes a separate --syncnet_config_path;
+    # here an optional `syncnet:` section rides the same file); smoke
+    # configs may likewise shrink the VAE
+    for section in ("syncnet", "vae"):
+        if section in data:
+            tree[section] = data[section]
     return _build_dataclass(LatentSyncConfig, tree)
 
 

@@ -55,10 +55,29 @@ class SyncNetTrainer:
 
         @jax.jit
         def train_step(params, opt_state, batch):
-            loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+            def loss_and_sat(p, b):
+                v_emb, a_emb = model.apply(
+                    p, b["vision"].astype(self.dtype), b["mel"].astype(self.dtype)
+                )
+                sims = jnp.sum(v_emb.astype(jnp.float32)
+                               * a_emb.astype(jnp.float32), axis=-1)
+                losses = cosine_bce_loss(v_emb, a_emb, b["y"])
+                # fraction of samples pinned at the BCE clip boundary —
+                # those contribute ZERO gradient (the r4 dead-training
+                # failure mode was 100% saturation from collapsed
+                # embeddings); surfacing it makes a recurrence visible
+                # in the step logs instead of silently training on air
+                eps = 1e-7
+                sat = jnp.mean(
+                    ((sims <= eps) | (sims >= 1.0 - eps)).astype(jnp.float32)
+                )
+                return jnp.mean(losses), sat
+
+            (loss, sat_frac), grads = jax.value_and_grad(
+                loss_and_sat, has_aux=True)(params, batch)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, loss
+            return params, opt_state, {"loss": loss, "sat_frac": sat_frac}
 
         @jax.jit
         def eval_step(params, batch):

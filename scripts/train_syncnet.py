@@ -94,6 +94,10 @@ def main():
             # NOT t.sharding: the eager tx.init template has ex-nihilo
             # leaves (adam count) committed to device 0, clashing with
             # mesh-replicated params inside jit (see train_unet.py).
+            # Blanket replication is only correct while the train state
+            # is dp-only; a model-parallel mesh would need per-leaf
+            # shardings derived from the restored params tree.
+            assert dict(mesh.shape).get("model", 1) == 1, dict(mesh.shape)
             opt_state = jax.tree.map(
                 lambda x: jax.device_put(jnp.asarray(x), replicated(mesh)),
                 restored["opt_state"])
@@ -108,11 +112,13 @@ def main():
     with mesh:
         for batch in loader:
             dev = {k: jax.device_put(jnp.asarray(v), b_shard) for k, v in batch.items()}
-            params, opt_state, loss = train_step(params, opt_state, dev)
+            params, opt_state, metrics = train_step(params, opt_state, dev)
             step += 1
             if step % args.log_every == 0:
-                train_hist.append((step, float(loss)))
-                print(json.dumps({"step": step, "loss": float(loss),
+                loss = float(metrics["loss"])
+                train_hist.append((step, loss))
+                print(json.dumps({"step": step, "loss": loss,
+                                  "sat_frac": float(metrics["sat_frac"]),
                                   "steps_per_sec": args.log_every / (time.time() - t0)}))
                 t0 = time.time()
             if step % args.validation_steps == 0:

@@ -34,6 +34,17 @@ def main():
                         "and continue — the reference restarts from torch "
                         "weights only (ref:scripts/train_unet.py:131-143); "
                         "here optimizer state survives too")
+    p.add_argument("--syncnet-ckpt", default="",
+                   help="frozen SyncNet torch checkpoint for the sync "
+                        "loss (ref:scripts/train_unet.py:171-178); "
+                        "random-init at matching config dims when absent")
+    p.add_argument("--overfit", action="store_true",
+                   help="memorization smoke: train on the FIRST batch "
+                        "forever with a FIXED rng (same noise + "
+                        "timesteps every step) — the eps-MSE must fall "
+                        "well below the ~1.0 random-data plateau, which "
+                        "makes the artifact's decreasing-loss check "
+                        "falsifiable")
     args = p.parse_args()
 
     from latentsync_tpu.config import LatentSyncConfig, load_unet_config
@@ -96,10 +107,88 @@ def main():
     unet_params = jax.tree.map(lambda x: jax.device_put(x, r_shard), unet_params)
     vae_params = jax.tree.map(lambda x: jax.device_put(x, r_shard), vae_params)
 
+    # --- stage-2 loss stack (ref:scripts/train_unet.py:360-409): frozen
+    # SyncNet cosine-BCE + LPIPS on the lower half + TREPA, all gated on
+    # pixel-space supervision like the reference ---
+    syncnet_params = None
+    perceptual_fn = None
+    trepa_fn = None
+    if config.run.pixel_space_supervise:
+        if config.run.use_syncnet:
+            from latentsync_tpu.models.syncnet import StableSyncNet
+            import math as _m
+
+            syncnet = StableSyncNet(config.syncnet, dtype=jnp.bfloat16)
+            mel_t = _m.ceil(f / 5 * 16)
+            syncnet_params = fast_init(
+                lambda v, a: syncnet.init(jax.random.PRNGKey(2), v, a),
+                jnp.zeros((1, res // 2, res, f * 3)),
+                jnp.zeros((1, 80, mel_t, 1)), seed=2,
+            )
+            if args.syncnet_ckpt and os.path.isfile(args.syncnet_ckpt):
+                sd, _ = convert.load_torch_state_dict(args.syncnet_ckpt)
+                syncnet_params = convert.merge_params(
+                    syncnet_params, convert.convert_stable_syncnet(sd))
+            syncnet_params = cast_floating(syncnet_params, jnp.bfloat16)
+        if config.run.perceptual_loss_weight > 0:
+            from latentsync_tpu.models.perceptual import LPIPS
+
+            lpips = LPIPS(dtype=jnp.bfloat16)
+            lpips_ckpt = os.environ.get("LATENTSYNC_LPIPS_CKPT", "")
+            if lpips_ckpt and os.path.isfile(lpips_ckpt):
+                from latentsync_tpu.models.perceptual import convert_lpips
+
+                sd, _ = convert.load_torch_state_dict(lpips_ckpt)
+                lpips_params = jax.tree.map(jnp.asarray, convert_lpips(sd))
+            else:
+                lpips_params = fast_init(
+                    lambda a, b: lpips.init(jax.random.PRNGKey(3), a, b),
+                    jnp.zeros((1, 8, 8, 3)), jnp.zeros((1, 8, 8, 3)), seed=3)
+            lpips_params = cast_floating(lpips_params, jnp.bfloat16)
+
+            def perceptual_fn(x, y):
+                # (B, F, H', W, 3) videos → frame batch
+                bx, fx = x.shape[:2]
+                fl = lambda v: v.reshape((bx * fx,) + v.shape[2:])
+                return jnp.mean(lpips.apply(
+                    lpips_params, fl(x).astype(jnp.bfloat16),
+                    fl(y).astype(jnp.bfloat16)).astype(jnp.float32))
+        if config.run.trepa_loss_weight > 0:
+            from latentsync_tpu.models.videomae import TREPALoss, VideoViTConfig
+            from latentsync_tpu.models.videomae import convert_videomae
+
+            trepa_ckpt = os.environ.get("LATENTSYNC_VIDEOMAE_CKPT", "")
+            if trepa_ckpt and os.path.isfile(trepa_ckpt):
+                sd, _ = convert.load_torch_state_dict(trepa_ckpt)
+                trepa_fn = TREPALoss(params=jax.tree.map(
+                    jnp.asarray, convert_videomae(sd)),
+                    config=VideoViTConfig.giant(), dtype=jnp.bfloat16)
+            else:
+                # random-init fallback (no release weights): a small
+                # 64² ViT exercises the loss path at ~12× fewer tokens
+                # than the 224² release geometry
+                trepa_fn = TREPALoss(
+                    config=VideoViTConfig(
+                        img_size=64, patch_size=16, embed_dim=64,
+                        depth=2, num_heads=4, mlp_ratio=4.0),
+                    dtype=jnp.bfloat16)
+    # frozen aux nets replicate over the mesh like the vae
+    if syncnet_params is not None:
+        syncnet_params = jax.tree.map(
+            lambda x: jax.device_put(x, r_shard), syncnet_params)
+    if perceptual_fn is not None:
+        lpips_params = jax.tree.map(
+            lambda x: jax.device_put(x, r_shard), lpips_params)
+    if trepa_fn is not None:
+        trepa_fn.params = jax.tree.map(
+            lambda x: jax.device_put(jnp.asarray(x), r_shard), trepa_fn.params)
+
     # --- optimizer + step ---
     tx = trainer.make_optimizer(unet_params)
     opt_state = tx.init(unet_params)
-    loss_fn, train_step = trainer.make_train_step(vae_params=vae_params)
+    loss_fn, train_step = trainer.make_train_step(
+        vae_params=vae_params, syncnet_params=syncnet_params,
+        perceptual_fn=perceptual_fn, trepa_fn=trepa_fn)
     step_jit = jax.jit(lambda p, o, b, r: train_step(p, o, b, r, tx))
 
     if args.resume:
@@ -114,6 +203,10 @@ def main():
             # ex nihilo (e.g. adam's count) sit committed on device 0 —
             # restoring onto that sharding clashes with the mesh-wide
             # params inside jit. All train state is replicated under dp.
+            # Blanket replication is only correct while the mesh is
+            # dp-only; model-parallel train state would need per-leaf
+            # shardings derived from the restored params tree.
+            assert dict(mesh.shape).get("model", 1) == 1, dict(mesh.shape)
             opt_state = jax.tree.map(
                 lambda x: jax.device_put(jnp.asarray(x), r_shard),
                 restored["opt_state"])
@@ -127,9 +220,14 @@ def main():
     max_steps = args.max_steps or config.run.max_train_steps
     losses = []
     val_confs = []
+    fixed_batch = None
     t0 = time.time()
     with mesh:
         for batch in loader:
+            if args.overfit:
+                if fixed_batch is None:
+                    fixed_batch = batch
+                batch = fixed_batch
             dev_batch = {
                 k: jax.device_put(jnp.asarray(v), b_shard)
                 for k, v in batch.items()
@@ -142,7 +240,9 @@ def main():
                 dev_batch["audio_embeds"] = jax.device_put(
                     jnp.zeros((b, f, 50, config.unet.cross_attention_dim)), b_shard
                 )
-            rng = jax.random.fold_in(jax.random.PRNGKey(config.run.seed), global_step)
+            rng = (jax.random.PRNGKey(config.run.seed) if args.overfit
+                   else jax.random.fold_in(
+                       jax.random.PRNGKey(config.run.seed), global_step))
             unet_params, opt_state, metrics = step_jit(
                 unet_params, opt_state, dev_batch, rng
             )
@@ -151,8 +251,14 @@ def main():
                 loss = float(metrics["total"])
                 losses.append((global_step, loss))
                 dt = time.time() - t0
-                print(json.dumps({"step": global_step, "loss": loss,
-                                  "steps_per_sec": args.log_every / dt}))
+                rec = {"step": global_step, "loss": loss,
+                       "steps_per_sec": args.log_every / dt}
+                extra = {k: float(v) for k, v in metrics.items()
+                         if k not in ("total", "recon")}
+                if extra:
+                    rec["loss_components"] = dict(
+                        {"recon": float(metrics["recon"])}, **extra)
+                print(json.dumps(rec))
                 t0 = time.time()
             if global_step % config.run.save_ckpt_steps == 0:
                 save_checkpoint(args.output_dir, global_step, unet_params, opt_state)
