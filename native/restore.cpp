@@ -271,9 +271,172 @@ void restore_one(uint8_t* frame, const uint8_t* face, const double* align_m,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Constant-geometry plan: on the live pipeline path every clip has ONE
+// box and one (near-)constant align matrix, so the inverse-warp source
+// coordinates, the eroded hard mask and the blurred soft mask are
+// identical for all ~125 frames. Build them once, then applying to a
+// frame is a sparse gather+blend over only the active (soft>0) pixels —
+// the erosions, blur, coverage test and affine math all drop out of the
+// per-frame cost. Arithmetic per pixel is kept EXACTLY the ops
+// restore_one performs (same top/bot bilinear form, same
+// sm*(hard*pasted)+(1-sm)*dst composite) so output is bit-identical.
+// ---------------------------------------------------------------------------
+
+struct PlanPx {
+  uint32_t dst_off;            // pixel index into the (h, w) frame
+  uint32_t o00, o01, o10, o11; // pixel indices into the (fh, fw) face
+  float fx, fy;                // bilinear fractions (0 when cov == 0)
+  float sm, hard;              // soft + eroded mask values
+};
+
+struct RestorePlan {
+  int h, w, fh, fw;
+  std::vector<PlanPx> px;
+};
+
+RestorePlan* plan_build(const double* align_m, int h, int w, int fh, int fw) {
+  Affine m{align_m[0], align_m[1], align_m[2],
+           align_m[3], align_m[4], align_m[5]};
+  double ia = m.a, ib = m.b, itx = m.tx;
+  double ic = m.c, id = m.d, ity = m.ty;
+
+  // identical bbox derivation to restore_one
+  double det = ia * id - ib * ic;
+  int bx0 = 0, by0 = 0, bx1 = w - 1, by1 = h - 1;
+  if (std::abs(det) > 1e-12) {
+    double ja = id / det, jb = -ib / det, jc = -ic / det, jd = ia / det;
+    double jtx = (ib * ity - id * itx) / det;
+    double jty = (ic * itx - ia * ity) / det;
+    const double cx[4] = {-1.0, static_cast<double>(fw), -1.0,
+                          static_cast<double>(fw)};
+    const double cy[4] = {-1.0, -1.0, static_cast<double>(fh),
+                          static_cast<double>(fh)};
+    double x_lo = 1e30, x_hi = -1e30, y_lo = 1e30, y_hi = -1e30;
+    for (int i = 0; i < 4; ++i) {
+      double X = ja * cx[i] + jb * cy[i] + jtx;
+      double Y = jc * cx[i] + jd * cy[i] + jty;
+      x_lo = std::min(x_lo, X); x_hi = std::max(x_hi, X);
+      y_lo = std::min(y_lo, Y); y_hi = std::max(y_hi, Y);
+    }
+    double area_ub = static_cast<double>(fw) * fh / std::abs(det);
+    int we_ub = static_cast<int>(std::sqrt(std::max(area_ub, 0.0))) / 20 + 1;
+    int pad = 2 * we_ub + 4;
+    bx0 = std::max(0, static_cast<int>(std::floor(x_lo)) - pad);
+    by0 = std::max(0, static_cast<int>(std::floor(y_lo)) - pad);
+    bx1 = std::min(w - 1, static_cast<int>(std::ceil(x_hi)) + pad);
+    by1 = std::min(h - 1, static_cast<int>(std::ceil(y_hi)) + pad);
+  }
+  auto* plan = new RestorePlan{h, w, fh, fw, {}};
+  if (bx0 > bx1 || by0 > by1) return plan;  // face entirely off-frame
+  int bw = bx1 - bx0 + 1, bh = by1 - by0 + 1;
+  bool rep_l = bx0 == 0, rep_r = bx1 == w - 1;
+  bool rep_t = by0 == 0, rep_b = by1 == h - 1;
+
+  std::vector<float> mask(static_cast<size_t>(bh) * bw);
+  std::vector<float> tmp(static_cast<size_t>(bh) * bw);
+  std::vector<float> sxs(static_cast<size_t>(bh) * bw);
+  std::vector<float> sys(static_cast<size_t>(bh) * bw);
+  for (int y = 0; y < bh; ++y) {
+    int gy = by0 + y;
+    for (int x = 0; x < bw; ++x) {
+      int gx = bx0 + x;
+      float sx = static_cast<float>(ia * gx + ib * gy + itx);
+      float sy = static_cast<float>(ic * gx + id * gy + ity);
+      size_t i = static_cast<size_t>(y) * bw + x;
+      sxs[i] = sx;
+      sys[i] = sy;
+      mask[i] = mask_coverage(sx, sy, fh, fw);
+    }
+  }
+  erode(mask, tmp, bh, bw, 2, rep_l, rep_r, rep_t, rep_b);
+  double area = 0;
+  for (size_t i = 0; i < mask.size(); ++i) area += mask[i];
+  int w_edge = static_cast<int>(std::sqrt(std::max(area, 0.0))) / 20;
+  std::vector<float> soft(mask);
+  if (w_edge > 0) {
+    erode(soft, tmp, bh, bw, w_edge * 2, rep_l, rep_r, rep_t, rep_b);
+    gaussian_blur(soft, tmp, bh, bw, w_edge * 2 + 1, rep_l, rep_r, rep_t,
+                  rep_b);
+  }
+
+  plan->px.reserve(static_cast<size_t>(bh) * bw / 2);
+  for (int y = 0; y < bh; ++y) {
+    for (int x = 0; x < bw; ++x) {
+      size_t i = static_cast<size_t>(y) * bw + x;
+      float sm = soft[i];
+      if (sm == 0.f) continue;  // composite leaves dst bit-identical
+      PlanPx p;
+      p.dst_off = static_cast<uint32_t>((by0 + y) * w + (bx0 + x));
+      p.sm = sm;
+      p.hard = mask[i];
+      float sx = sxs[i], sy = sys[i];
+      if (sx < 0.f || sy < 0.f || sx > fw - 1.f || sy > fh - 1.f) {
+        // cov==0 here (hard==0 too): pasted sample is exactly 0
+        p.o00 = p.o01 = p.o10 = p.o11 = 0;
+        p.fx = p.fy = 0.f;
+        p.hard = 0.f;
+      } else {
+        int x0 = static_cast<int>(sx), y0 = static_cast<int>(sy);
+        int x1 = std::min(x0 + 1, fw - 1), y1 = std::min(y0 + 1, fh - 1);
+        p.fx = sx - x0;
+        p.fy = sy - y0;
+        p.o00 = static_cast<uint32_t>(y0 * fw + x0);
+        p.o01 = static_cast<uint32_t>(y0 * fw + x1);
+        p.o10 = static_cast<uint32_t>(y1 * fw + x0);
+        p.o11 = static_cast<uint32_t>(y1 * fw + x1);
+      }
+      plan->px.push_back(p);
+    }
+  }
+  return plan;
+}
+
+void plan_apply_one(const RestorePlan& plan, uint8_t* frame,
+                    const uint8_t* face) {
+  for (const PlanPx& p : plan.px) {
+    uint8_t* dst = frame + static_cast<size_t>(p.dst_off) * 3;
+    const uint8_t* f00 = face + static_cast<size_t>(p.o00) * 3;
+    const uint8_t* f01 = face + static_cast<size_t>(p.o01) * 3;
+    const uint8_t* f10 = face + static_cast<size_t>(p.o10) * 3;
+    const uint8_t* f11 = face + static_cast<size_t>(p.o11) * 3;
+    float fx = p.fx, fy = p.fy, sm = p.sm, hard = p.hard;
+    for (int k = 0; k < 3; ++k) {
+      float top = f00[k] * (1.f - fx) + f01[k] * fx;
+      float bot = f10[k] * (1.f - fx) + f11[k] * fx;
+      float pasted = top * (1.f - fy) + bot * fy;
+      float v = sm * (hard * pasted) + (1.f - sm) * dst[k];
+      dst[k] = static_cast<uint8_t>(std::min(std::max(v, 0.f), 255.f));
+    }
+  }
+}
+
 }  // namespace
 
 extern "C" {
+
+// Constant-geometry plan API (one matrix shared by all frames).
+void* restore_plan_build(const double* mat, int h, int w, int fh, int fw) {
+  return plan_build(mat, h, w, fh, fw);
+}
+
+void restore_plan_apply(void* plan_ptr, uint8_t* frames, const uint8_t* faces,
+                        int n, int fh, int fw, int threads) {
+  const RestorePlan& plan = *static_cast<RestorePlan*>(plan_ptr);
+#ifdef _OPENMP
+  if (threads > 0) omp_set_num_threads(threads);
+#pragma omp parallel for schedule(dynamic)
+#endif
+  for (int i = 0; i < n; ++i) {
+    plan_apply_one(plan,
+                   frames + static_cast<size_t>(i) * plan.h * plan.w * 3,
+                   faces + static_cast<size_t>(i) * fh * fw * 3);
+  }
+}
+
+void restore_plan_free(void* plan_ptr) {
+  delete static_cast<RestorePlan*>(plan_ptr);
+}
 
 void restore_frames(uint8_t* frames, const uint8_t* faces,
                     const double* inv_mats, int n, int h, int w, int fh,

@@ -91,6 +91,11 @@ run:
   save_ckpt_steps: 25
   inference_steps: 3
   lr: 1.0e-3
+  # from-scratch smoke: conv_out is zero-init (UNET_ZERO_PATHS), so the
+  # reference trainable set (motion + attention) alone has ZERO gradient
+  # (output is 0 independent of those params — stage 2 presumes stage-1
+  # weights). conv_out must train for the loop to be live.
+  trainable_modules: ["motion_modules.", "attentions.", "conv_out"]
 """
 
 # memorization smoke: ALL params trainable + fixed batch/noise via
@@ -167,6 +172,8 @@ run:
   sync_loss_weight: 0.05
   save_ckpt_steps: 100000
   lr: 1.0e-3
+  # see UNET_CFG: zero-init conv_out must train from scratch
+  trainable_modules: ["motion_modules.", "attentions.", "conv_out"]
 """
 
 SYNCNET_CFG = """

@@ -152,3 +152,37 @@ def test_denoise_dp_tp_mesh(tiny_pipe, rng):
         sharded = np.asarray(denoise(params, *args))
 
     np.testing.assert_allclose(sharded, single, atol=2e-4, rtol=2e-3)
+
+
+def test_serving_denoise_dp_tp_matches_single(tiny_pipe, rng):
+    """The CFG-batched DDIM serving denoise under dp=4×tp=2 must equal
+    the single-device run numerically (VERDICT r4 weak #6b: the dryrun
+    asserted only a finite norm — a subtly wrong TP collective in the
+    CFG combine would have passed)."""
+    from latentsync_tpu.parallel.mesh import (
+        batch_sharding,
+        param_tp_sharding,
+        shard_tree,
+    )
+
+    pipe = tiny_pipe
+    lat, f, W = 8, 4, 4
+    denoise = pipe._denoise_fn(3, 1.5, True)
+
+    latents0 = jnp.asarray(rng.standard_normal((W, f, lat, lat, 4)).astype(np.float32))
+    mask = jnp.ones((W, f, lat, lat, 1), jnp.float32)
+    masked = jnp.asarray(rng.standard_normal((W, f, lat, lat, 4)).astype(np.float32))
+    ref = jnp.asarray(rng.standard_normal((W, f, lat, lat, 4)).astype(np.float32))
+    audio = jnp.asarray(rng.standard_normal((W, f, 10, 16)).astype(np.float32))
+
+    single = np.asarray(denoise(pipe.unet_params, latents0, mask, masked, ref, audio))
+
+    mesh = make_mesh(8, model_parallel=2)
+    params = shard_tree(pipe.unet_params,
+                        param_tp_sharding(mesh, pipe.unet_params))
+    b = batch_sharding(mesh)
+    args = [jax.device_put(x, b) for x in (latents0, mask, masked, ref, audio)]
+    with mesh:
+        sharded = np.asarray(denoise(params, *args))
+
+    np.testing.assert_allclose(sharded, single, atol=2e-4, rtol=2e-3)

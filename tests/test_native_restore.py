@@ -122,3 +122,45 @@ def test_copy_false_pastes_in_place():
     ref = restore_frames_native(frames, faces, np.array([m]))  # copy=True
     np.testing.assert_array_equal(out, ref)
     assert not np.array_equal(frames, ref)  # copy=True left input intact
+
+
+# ---------------------------------------------------------------------------
+# constant-geometry plan path
+# ---------------------------------------------------------------------------
+
+
+def test_plan_path_bit_identical_to_per_frame():
+    """restore_frames_const_native must be BITWISE equal to the
+    per-frame kernel when every frame shares one matrix — the live
+    pipeline's fast path (clips have one box + one align matrix)."""
+    from latentsync_tpu.utils.native import restore_frames_const_native
+
+    rng = np.random.default_rng(7)
+    h, w, fh, fw, n = 240, 320, 96, 80, 6
+    frames = rng.integers(0, 256, (n, h, w, 3), np.uint8)
+    faces = rng.integers(0, 256, (n, fh, fw, 3), np.uint8)
+    for angle, scale, tx, ty in [
+        (0.05, 0.6, -40.0, -30.0),   # interior
+        (0.0, 0.45, -5.0, -3.0),     # touches frame edges (replicate flags)
+        (-0.2, 0.7, -500.0, -400.0), # face pushed off-frame (empty plan)
+    ]:
+        mat = _forward_matrix(angle, scale, tx, ty)
+        ref = restore_frames_native(frames, faces, np.tile(mat, (n, 1, 1)))
+        got = restore_frames_const_native(frames, faces, mat)
+        assert np.array_equal(ref, got), (angle, scale, tx, ty)
+
+
+def test_plan_cache_reuses_and_stays_correct():
+    """Second call with the same matrix hits the cached plan and still
+    restores fresh frame content correctly."""
+    from latentsync_tpu.utils.native import restore_frames_const_native
+
+    rng = np.random.default_rng(8)
+    h, w, fh, fw, n = 120, 160, 48, 40, 3
+    mat = _forward_matrix(0.1, 0.5, -20.0, -10.0)
+    for seed in (1, 2):
+        frames = rng.integers(0, 256, (n, h, w, 3), np.uint8)
+        faces = rng.integers(0, 256, (n, fh, fw, 3), np.uint8)
+        ref = restore_frames_native(frames, faces, np.tile(mat, (n, 1, 1)))
+        got = restore_frames_const_native(frames, faces, mat)
+        assert np.array_equal(ref, got)

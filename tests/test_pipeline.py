@@ -98,7 +98,7 @@ def test_pipeline_end_to_end(tiny_pipeline, tmp_path, rng):
     n = min(len(out), len(frames))
     assert np.abs(out[:n].astype(int) - frames[:n].astype(int)).mean() > 0.5
     # timings recorded for every stage
-    for key in ("faces", "audio", "vae_encode", "denoise", "vae_decode",
+    for key in ("faces", "audio", "vae_encode", "denoise_dispatch", "vae_decode",
                 "restore", "write", "total"):
         assert key in result.elapsed
 
