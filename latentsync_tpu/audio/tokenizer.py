@@ -82,6 +82,12 @@ class WhisperTokenizer:
         return self._one("<|notimestamps|>")
 
     @property
+    def sot_prev(self) -> int:
+        """Previous-context marker prepended before prompt conditioning
+        (ref:whisper/tokenizer.py sot_prev, decoding.py:530)."""
+        return self._one("<|startofprev|>")
+
+    @property
     def timestamp_begin(self) -> int:
         return self.tokenizer.all_special_ids[-1] + 1
 

@@ -30,6 +30,7 @@ from ..models.whisper_decoder import (
     GreedyRules,
     WhisperTextDecoder,
     beam_decode,
+    build_initial_tokens,
     greedy_decode,
     tokens_to_segments,
 )
@@ -65,6 +66,8 @@ class WhisperTranscriber:
         temperature=(0.0,),
         compression_ratio_threshold: Optional[float] = 2.4,
         logprob_threshold: Optional[float] = -1.0,
+        initial_prompt: Optional[str] = None,
+        condition_on_previous_text: bool = True,
     ):
         """beam_size/temperature follow the reference transcribe surface
         (ref:whisper/transcribe.py:24-27,145-147): beam search at t=0
@@ -105,30 +108,44 @@ class WhisperTranscriber:
                             else tuple(temperature))
         self.compression_ratio_threshold = compression_ratio_threshold
         self.logprob_threshold = logprob_threshold
+        # prompt conditioning (ref:whisper/transcribe.py initial_prompt /
+        # condition_on_previous_text + decoding.py:526-530): the first
+        # window is conditioned on initial_prompt; later windows on the
+        # text decoded so far (reset after a high-temperature fallback,
+        # which signals the previous window was unreliable)
+        self.initial_prompt = initial_prompt
+        self.condition_on_previous_text = condition_on_previous_text
 
-    def _decode_with_fallback(self, feats):
+    def _decode_with_fallback(self, feats, sot_sequence=None):
         """(ref:whisper/transcribe.py decode_with_fallback): walk the
         temperature ladder; retry when the decode fails the
         compression-ratio or avg-logprob gate. Beam search applies only
-        at t=0; t>0 samples (ref:transcribe.py:146-147)."""
+        at t=0; t>0 samples (ref:transcribe.py:146-147). sot_sequence
+        may carry prompt/prefix conditioning (build_initial_tokens) —
+        the gates only look at the SAMPLED region past it. Returns
+        (tokens, avg_lp, temperature_used)."""
+        sot = tuple(sot_sequence if sot_sequence is not None
+                    else self.tokenizer.sot_sequence)
+        sample_begin = len(sot)
         tokens = avg_lp = None
+        t = 0.0
         for t in self.temperature:
             if t == 0.0 and self.beam_size:
                 tokens, avg_lp = beam_decode(
-                    self.decoder, self.decoder_params, feats,
-                    self.tokenizer.sot_sequence, self.rules,
-                    beam_size=self.beam_size)
+                    self.decoder, self.decoder_params, feats, sot,
+                    self.rules, beam_size=self.beam_size)
             else:
                 tokens, avg_lp = greedy_decode(
-                    self.decoder, self.decoder_params, feats,
-                    self.tokenizer.sot_sequence, self.rules,
-                    temperature=float(t), seed=int(t * 10) + 7)
+                    self.decoder, self.decoder_params, feats, sot,
+                    self.rules, temperature=float(t), seed=int(t * 10) + 7)
             needs_fallback = False
             if self.compression_ratio_threshold is not None:
-                # text tokens only: in the whisper id layout every
-                # special (sot/eot/lang/task/timestamps) is >= eot
+                # sampled text tokens only: the forced prompt/prefix must
+                # not count toward the repetition gate, and in the
+                # whisper id layout every special is >= eot
                 text = self.tokenizer.decode(
-                    [int(tt) for tt in tokens[0] if tt < self.tokenizer.eot])
+                    [int(tt) for tt in tokens[0][sample_begin:]
+                     if tt < self.tokenizer.eot])
                 if compression_ratio(text) > self.compression_ratio_threshold:
                     needs_fallback = True  # too repetitive
             if (self.logprob_threshold is not None
@@ -136,7 +153,7 @@ class WhisperTranscriber:
                 needs_fallback = True  # average log probability too low
             if not needs_fallback:
                 break
-        return tokens, avg_lp
+        return tokens, avg_lp, float(t)
 
     def __call__(self, audio_or_path) -> List[Dict]:
         if isinstance(audio_or_path, (str, os.PathLike)):
@@ -150,14 +167,31 @@ class WhisperTranscriber:
         num_frames = mel.shape[-1]
         segments: List[Dict] = []
         seek = 0
+        prompt_tokens: List[int] = (
+            self.tokenizer.encode(" " + self.initial_prompt.strip())
+            if self.initial_prompt else [])
         while seek < num_frames:
             end = min(seek + WHISPER_N_FRAMES, num_frames)
             window = pad_or_trim(mel[:, seek:end], WHISPER_N_FRAMES)
             feats = self._encode(self.encoder_params, window[None])
-            tokens, _ = self._decode_with_fallback(feats)
+            init = (build_initial_tokens(
+                self.tokenizer.sot_sequence, tokenizer=self.tokenizer,
+                prompt=prompt_tokens, n_ctx=self.config.n_text_ctx)
+                if prompt_tokens else tuple(self.tokenizer.sot_sequence))
+            tokens, _, temp_used = self._decode_with_fallback(
+                feats, sot_sequence=init)
+            sampled = tokens[0][len(init):]
+            if self.condition_on_previous_text and temp_used <= 0.5:
+                # accumulate this window's text tokens as the next
+                # window's prompt; a high-temperature fallback resets
+                # the context (ref:transcribe.py condition_on_previous_text)
+                prompt_tokens.extend(
+                    int(tt) for tt in sampled if tt < self.tokenizer.eot)
+            else:
+                prompt_tokens = []
             offset = seek * _SAMPLES_PER_FRAME / 16000.0
             window_segs = tokens_to_segments(
-                tokens[0], self.tokenizer, segment_offset_sec=offset)
+                sampled, self.tokenizer, segment_offset_sec=offset)
             segments.extend(window_segs)
             if end >= num_frames:
                 break

@@ -265,6 +265,46 @@ def _apply_logit_filters(logits, tokens_buf, pos, rules, sample_begin,
     return logits
 
 
+def build_initial_tokens(
+    sot_sequence: Sequence[int],
+    *,
+    tokenizer=None,
+    prompt=None,
+    prefix=None,
+    sample_len: Optional[int] = None,
+    n_ctx: int = 448,
+) -> Tuple[int, ...]:
+    """DecodingOptions prompt/prefix conditioning
+    (ref:whisper/decoding.py:512-533 _get_initial_tokens):
+
+    - `prefix` (text or token list) appends AFTER the SOT sequence —
+      forced first tokens of the CURRENT segment (trimmed to the last
+      n_ctx//2 − sample_len when sample_len bounds the decode);
+    - `prompt` (text or token list) prepends `[sot_prev] + tokens`
+      BEFORE the SOT sequence — previous-context conditioning (the
+      transcribe loop's condition_on_previous_text path), trimmed to
+      the last n_ctx//2 − 1 tokens.
+
+    Both count toward sample_begin: they are forced, not sampled, and
+    do not contribute to avg_logprob."""
+    tokens = list(sot_sequence)
+    if prefix:
+        prefix_tokens = (
+            tokenizer.encode(" " + prefix.strip())
+            if isinstance(prefix, str) else list(prefix))
+        if sample_len is not None:
+            max_prefix_len = n_ctx // 2 - sample_len
+            prefix_tokens = prefix_tokens[-max_prefix_len:]
+        tokens = tokens + prefix_tokens
+    if prompt:
+        prompt_tokens = (
+            tokenizer.encode(" " + prompt.strip())
+            if isinstance(prompt, str) else list(prompt))
+        tokens = ([tokenizer.sot_prev]
+                  + prompt_tokens[-(n_ctx // 2 - 1):] + tokens)
+    return tuple(tokens)
+
+
 def greedy_decode(
     decoder: WhisperTextDecoder,
     params,
@@ -274,6 +314,9 @@ def greedy_decode(
     sample_len: Optional[int] = None,
     temperature: float = 0.0,
     seed: int = 0,
+    prompt_text=None,
+    prefix_text=None,
+    tokenizer=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Greedy transcription of (B, Ta, C) audio features.
 
@@ -281,10 +324,16 @@ def greedy_decode(
     padding, avg_logprob (B,)). The whole loop — prompt prefill included
     — is one lax.while_loop under jit. temperature > 0 samples from
     logits/T instead of argmax (ref:decoding.py:260-263 GreedyDecoder) —
-    the fallback ladder's retry mode (transcribe decode_with_fallback)."""
+    the fallback ladder's retry mode (transcribe decode_with_fallback).
+    prompt_text/prefix_text: DecodingOptions-style conditioning folded
+    into the forced token sequence (ref:decoding.py:512-533)."""
     cfg = decoder.config
     b = audio_features.shape[0]
     n_ctx = cfg.n_text_ctx
+    if prompt_text or prefix_text:
+        sot_sequence = build_initial_tokens(
+            sot_sequence, tokenizer=tokenizer, prompt=prompt_text,
+            prefix=prefix_text, sample_len=sample_len, n_ctx=n_ctx)
     sample_len = sample_len or n_ctx // 2
     prompt = np.asarray(sot_sequence, np.int32)
     sample_begin = len(prompt)
@@ -365,6 +414,9 @@ def beam_decode(
     sample_len: Optional[int] = None,
     patience: Optional[float] = None,
     length_penalty: Optional[float] = None,
+    prompt_text=None,
+    prefix_text=None,
+    tokenizer=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Beam-search transcription (ref:decoding.py:281-369
     BeamSearchDecoder + :173-197 MaximumLikelihoodRanker), whole loop
@@ -390,6 +442,10 @@ def beam_decode(
     b = audio_features.shape[0]
     nb = beam_size
     n_ctx = cfg.n_text_ctx
+    if prompt_text or prefix_text:
+        sot_sequence = build_initial_tokens(
+            sot_sequence, tokenizer=tokenizer, prompt=prompt_text,
+            prefix=prefix_text, sample_len=sample_len, n_ctx=n_ctx)
     sample_len = sample_len or n_ctx // 2
     prompt = np.asarray(sot_sequence, np.int32)
     sample_begin = len(prompt)

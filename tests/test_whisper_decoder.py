@@ -367,3 +367,179 @@ def test_beam_decode_beats_or_ties_greedy_sum_logprob():
     bt, b_lp = beam_decode(f, params, xa, (10,), rules, beam_size=3,
                            sample_len=10)
     assert float(b_lp[0]) >= float(g_lp[0]) - 1e-4
+
+
+# ---------------------------------------------------------------------------
+# prompt/prefix conditioning + timestamp rules vs torch oracle
+# (ref:decoding.py:512-533 _get_initial_tokens, :404-441 ApplyTimestampRules)
+# ---------------------------------------------------------------------------
+
+
+class _PromptTok:
+    sot_prev = 42
+
+    def encode(self, text):
+        # toy "BPE": one token per character, offset into plain-text ids
+        return [20 + (ord(c) % 60) for c in text]
+
+
+def test_build_initial_tokens_matches_reference_semantics():
+    from latentsync_tpu.models.whisper_decoder import build_initial_tokens
+
+    tok = _PromptTok()
+    sot = (10, 11, 12)
+    # prompt: sot_prev + last (n_ctx//2 - 1) prompt tokens + sot
+    prompt = list(range(100, 160))
+    got = build_initial_tokens(sot, tokenizer=tok, prompt=prompt, n_ctx=64)
+    assert got == tuple([42] + prompt[-(64 // 2 - 1):] + list(sot))
+    # prefix: sot + prefix tokens trimmed to n_ctx//2 - sample_len
+    prefix = list(range(200, 230))
+    got = build_initial_tokens(sot, tokenizer=tok, prefix=prefix,
+                               sample_len=10, n_ctx=64)
+    assert got == tuple(list(sot) + prefix[-(64 // 2 - 10):])
+    # no sample_len: prefix untrimmed
+    got = build_initial_tokens(sot, tokenizer=tok, prefix=[7, 8], n_ctx=64)
+    assert got == tuple(list(sot) + [7, 8])
+    # text prompt/prefix go through tokenizer.encode(" " + stripped)
+    got = build_initial_tokens(sot, tokenizer=tok, prompt="ab ", n_ctx=64)
+    assert got == tuple([42] + tok.encode(" ab") + list(sot))
+
+
+def _torch_greedy_oracle(tdec, xa, init_tokens, rules, sample_len):
+    """Reference greedy decode (GreedyDecoder + logit-filter stack,
+    ref:decoding.py:260-278,387-441) on the torch decoder: full
+    teacher-forced forward per step, python-loop filters."""
+    import torch.nn.functional as tF
+
+    n = xa.shape[0]
+    sample_begin = len(init_tokens)
+    tokens = torch.tensor([list(init_tokens)]).repeat(n, 1)
+    ts0 = rules.timestamp_begin
+    for _ in range(sample_len):
+        with torch.no_grad():
+            logits = tdec(tokens, xa)[:, -1].float()
+        logits[:, list(rules.suppress)] = -np.inf
+        if rules.use_timestamps:
+            logits[:, rules.no_timestamps] = -np.inf
+        if tokens.shape[1] == sample_begin:  # SuppressBlank
+            logits[:, [rules.blank, rules.eot]] = -np.inf
+        if rules.use_timestamps:  # ApplyTimestampRules verbatim
+            for k in range(n):
+                seq = tokens[k, sample_begin:].tolist()
+                last_ts = len(seq) >= 1 and seq[-1] >= ts0
+                pen_ts = len(seq) < 2 or seq[-2] >= ts0
+                if last_ts:
+                    if pen_ts:
+                        logits[k, ts0:] = -np.inf
+                    else:
+                        logits[k, : rules.eot] = -np.inf
+            if (tokens.shape[1] == sample_begin
+                    and rules.max_initial_timestamp_index is not None):
+                logits[:, ts0 + rules.max_initial_timestamp_index + 1:] = \
+                    -np.inf
+            lp = tF.log_softmax(logits, dim=-1)
+            for k in range(n):
+                if float(lp[k, ts0:].logsumexp(dim=-1)) > float(
+                        lp[k, :ts0].max()):
+                    logits[k, :ts0] = -np.inf
+        nxt = logits.argmax(dim=-1)
+        done = (tokens[:, sample_begin:] == rules.eot).any(dim=-1)
+        nxt[done] = rules.eot
+        tokens = torch.cat([tokens, nxt[:, None]], dim=1)
+        if done.all():
+            break
+    out = []
+    for k in range(n):
+        row = tokens[k, sample_begin:].tolist()
+        out.append(row[: row.index(rules.eot)] if rules.eot in row else row)
+    return out
+
+
+def _sampled(tokens_row, sample_begin, eot):
+    row = tokens_row[sample_begin:].tolist()
+    return row[: row.index(eot)] if eot in row else row
+
+
+def test_greedy_with_prompt_matches_torch_oracle():
+    """Prompt conditioning changes WHAT gets decoded (the forced context
+    feeds the self-attention); the jitted loop must match the reference
+    decode under the same initial tokens."""
+    t, f, params = _pair()
+    rng = np.random.default_rng(21)
+    xa_np = rng.standard_normal((2, 9, TINY.n_text_state)).astype(
+        np.float32) * 0.3
+    rules = _rules(use_timestamps=False)
+    tok = _PromptTok()
+    sot = (10, 11, 12)
+    prompt_tokens = [30, 31, 32, 33]
+
+    from latentsync_tpu.models.whisper_decoder import build_initial_tokens
+
+    init = build_initial_tokens(sot, tokenizer=tok, prompt=prompt_tokens,
+                                n_ctx=TINY.n_text_ctx)
+    assert init[0] == tok.sot_prev and init[-3:] == sot
+
+    want = _torch_greedy_oracle(t, torch.from_numpy(xa_np), init, rules,
+                                sample_len=8)
+    tokens, _ = greedy_decode(f, params, jnp.asarray(xa_np), sot, rules,
+                              sample_len=8, prompt_text=prompt_tokens,
+                              tokenizer=tok)
+    base_tokens, _ = greedy_decode(f, params, jnp.asarray(xa_np), sot,
+                                   rules, sample_len=8)
+    for i in range(2):
+        got = _sampled(tokens[i], len(init), rules.eot)
+        assert got == want[i], f"audio {i}: {got} != {want[i]}"
+    # conditioning must actually matter on at least one row
+    assert any(
+        _sampled(tokens[i], len(init), rules.eot)
+        != _sampled(base_tokens[i], len(sot), rules.eot)
+        for i in range(2))
+
+
+def test_greedy_timestamp_rules_match_torch_oracle():
+    """Timestamp filter stack (pairing, max_initial, ts-vs-text
+    logsumexp) active end-to-end vs the reference filters."""
+    t, f, params = _pair()
+    rng = np.random.default_rng(22)
+    xa_np = rng.standard_normal((2, 9, TINY.n_text_state)).astype(
+        np.float32) * 0.3
+    rules = _rules(use_timestamps=True)
+    sot = (10, 11, 12)
+
+    want = _torch_greedy_oracle(t, torch.from_numpy(xa_np), sot, rules,
+                                sample_len=10)
+    tokens, _ = greedy_decode(f, params, jnp.asarray(xa_np), sot, rules,
+                              sample_len=10)
+    for i in range(2):
+        got = _sampled(tokens[i], len(sot), rules.eot)
+        assert got == want[i], f"audio {i}: {got} != {want[i]}"
+    # the decode must actually emit timestamp tokens for this to count
+    assert any(tt >= rules.timestamp_begin
+               for row in tokens for tt in row.tolist())
+
+
+def test_beam_decode_with_prompt_matches_torch_oracle():
+    from latentsync_tpu.models.whisper_decoder import (
+        beam_decode,
+        build_initial_tokens,
+    )
+
+    t, f, params = _pair()
+    rng = np.random.default_rng(23)
+    xa_np = rng.standard_normal((1, 9, TINY.n_text_state)).astype(
+        np.float32) * 0.3
+    rules = _rules(use_timestamps=False)
+    tok = _PromptTok()
+    sot = (10, 11, 12)
+    prompt_tokens = [35, 36, 37]
+    init = build_initial_tokens(sot, tokenizer=tok, prompt=prompt_tokens,
+                                n_ctx=TINY.n_text_ctx)
+
+    want = _torch_beam_oracle(
+        t, torch.from_numpy(xa_np), init, beam_size=2, eot=rules.eot,
+        suppress=rules.suppress, blank=rules.blank, sample_len=8)
+    tokens, _ = beam_decode(f, params, jnp.asarray(xa_np), sot, rules,
+                            beam_size=2, sample_len=8,
+                            prompt_text=prompt_tokens, tokenizer=tok)
+    got = _sampled(tokens[0], len(init), rules.eot)
+    assert got == want[0], f"{got} != {want[0]}"
