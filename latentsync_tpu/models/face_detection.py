@@ -262,6 +262,7 @@ class ConvBlock(nn.Module):
 
     out_channels: int
     dtype: jnp.dtype = jnp.float32
+    train: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -269,8 +270,8 @@ class ConvBlock(nn.Module):
         in_ch = x.shape[-1]
 
         def bn_relu_conv(x, ch, k, name):
-            x = nn.BatchNorm(use_running_average=True, dtype=jnp.float32,
-                             name=f"{name}_bn")(x)
+            x = nn.BatchNorm(use_running_average=not self.train,
+                             dtype=jnp.float32, name=f"{name}_bn")(x)
             x = nn.relu(x).astype(self.dtype)
             return nn.Conv(ch, (k, k), padding=k // 2, use_bias=False,
                            dtype=self.dtype, name=f"{name}_conv")(x)
@@ -280,8 +281,8 @@ class ConvBlock(nn.Module):
         y3 = bn_relu_conv(y2, c // 4, 3, "b3")
         out = jnp.concatenate([y1, y2, y3], axis=-1)
         if in_ch != c:
-            skip = nn.BatchNorm(use_running_average=True, dtype=jnp.float32,
-                                name="ds_bn")(x)
+            skip = nn.BatchNorm(use_running_average=not self.train,
+                                dtype=jnp.float32, name="ds_bn")(x)
             skip = nn.relu(skip).astype(self.dtype)
             skip = nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype,
                            name="ds_conv")(skip)
@@ -293,21 +294,22 @@ class Hourglass(nn.Module):
     depth: int = 4
     features: int = 256
     dtype: jnp.dtype = jnp.float32
+    train: bool = False
 
     @nn.compact
     def __call__(self, x):
         def recurse(x, level):
-            up1 = ConvBlock(self.features, dtype=self.dtype,
+            up1 = ConvBlock(self.features, dtype=self.dtype, train=self.train,
                             name=f"up1_{level}")(x)
             low = nn.avg_pool(x, (2, 2), strides=(2, 2))
-            low = ConvBlock(self.features, dtype=self.dtype,
+            low = ConvBlock(self.features, dtype=self.dtype, train=self.train,
                             name=f"low1_{level}")(low)
             if level > 1:
                 low = recurse(low, level - 1)
             else:
                 low = ConvBlock(self.features, dtype=self.dtype,
-                                name=f"low2_{level}")(low)
-            low = ConvBlock(self.features, dtype=self.dtype,
+                                train=self.train, name=f"low2_{level}")(low)
+            low = ConvBlock(self.features, dtype=self.dtype, train=self.train,
                             name=f"low3_{level}")(low)
             b, h, w, c = low.shape
             up2 = jax.image.resize(low, (b, h * 2, w * 2, c), "nearest")
@@ -320,38 +322,50 @@ class FAN2D(nn.Module):
     """2D-FAN 68-landmark heatmap regressor (4 stacked hourglasses).
 
     Input (B, 256, 256, 3) in [0, 1]; output (B, 64, 64, 68) heatmaps
-    per stack (last one used for landmarks)."""
+    per stack (last one used for landmarks).
+
+    `features`/`num_modules` default to the face_alignment 2DFAN4 shape
+    (converter target); the packaged no-checkpoint fallback trains a
+    1-module, narrower instance (scripts/train_landmark_fallback.py)."""
 
     num_modules: int = 4
+    features: int = 256
     dtype: jnp.dtype = jnp.float32
+    train: bool = False
 
     @nn.compact
     def __call__(self, x):
+        F = self.features
         h = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, dtype=self.dtype,
                     name="conv1")(x.astype(self.dtype))
-        h = nn.BatchNorm(use_running_average=True, dtype=jnp.float32, name="bn1")(h)
+        h = nn.BatchNorm(use_running_average=not self.train,
+                         dtype=jnp.float32, name="bn1")(h)
         h = nn.relu(h).astype(self.dtype)
-        h = ConvBlock(128, dtype=self.dtype, name="conv2")(h)
+        h = ConvBlock(F // 2, dtype=self.dtype, train=self.train,
+                      name="conv2")(h)
         h = nn.avg_pool(h, (2, 2), strides=(2, 2))
-        h = ConvBlock(128, dtype=self.dtype, name="conv3")(h)
-        h = ConvBlock(256, dtype=self.dtype, name="conv4")(h)
+        h = ConvBlock(F // 2, dtype=self.dtype, train=self.train,
+                      name="conv3")(h)
+        h = ConvBlock(F, dtype=self.dtype, train=self.train, name="conv4")(h)
 
         outputs = []
         prev = h
         for m in range(self.num_modules):
-            hg = Hourglass(4, 256, dtype=self.dtype, name=f"m{m}_hg")(prev)
-            ll = ConvBlock(256, dtype=self.dtype, name=f"m{m}_top")(hg)
-            ll = nn.Conv(256, (1, 1), dtype=self.dtype, name=f"m{m}_conv_last")(ll)
-            ll = nn.BatchNorm(use_running_average=True, dtype=jnp.float32,
-                              name=f"m{m}_bn_end")(ll)
+            hg = Hourglass(4, F, dtype=self.dtype, train=self.train,
+                           name=f"m{m}_hg")(prev)
+            ll = ConvBlock(F, dtype=self.dtype, train=self.train,
+                           name=f"m{m}_top")(hg)
+            ll = nn.Conv(F, (1, 1), dtype=self.dtype, name=f"m{m}_conv_last")(ll)
+            ll = nn.BatchNorm(use_running_average=not self.train,
+                              dtype=jnp.float32, name=f"m{m}_bn_end")(ll)
             ll = nn.relu(ll).astype(self.dtype)
             heat = nn.Conv(68, (1, 1), dtype=self.dtype, name=f"m{m}_l")(ll)
             outputs.append(heat)
             if m < self.num_modules - 1:
                 prev = (
                     prev
-                    + nn.Conv(256, (1, 1), dtype=self.dtype, name=f"m{m}_bl")(ll)
-                    + nn.Conv(256, (1, 1), dtype=self.dtype, name=f"m{m}_al")(heat)
+                    + nn.Conv(F, (1, 1), dtype=self.dtype, name=f"m{m}_bl")(ll)
+                    + nn.Conv(F, (1, 1), dtype=self.dtype, name=f"m{m}_al")(heat)
                 )
         return outputs
 
@@ -375,12 +389,44 @@ def heatmaps_to_landmarks(heatmaps: np.ndarray, scale: float = 4.0) -> np.ndarra
     return (coords + 0.5) * scale
 
 
+class HaarBoxDetector:
+    """Face-BOX stage adapter: wraps HaarAnchorDetector's cascade box
+    search behind the `.detect(image_rgb) → (N, ≥4)` protocol the
+    landmark detectors expect, so a FAN crop stage works with zero
+    model checkpoints (the packaged-fallback configuration)."""
+
+    def __init__(self):
+        from ..utils.face import HaarAnchorDetector
+
+        self._haar = HaarAnchorDetector()
+
+    def detect(self, image_rgb: np.ndarray) -> np.ndarray:
+        x, y, w, h = self._haar._detect_box(image_rgb)
+        # expand: Haar boxes hug the inner face; FAN crops train on a
+        # full-head framing with margin (synthetic_faces.render_face)
+        cx, cy = x + w / 2.0, y + h / 2.0
+        half = max(w, h) * 0.72
+        return np.array([[cx - half, cy - half * 1.05,
+                          cx + half, cy + half * 0.95, 1.0]], np.float32)
+
+
 class FANLandmarkDetector:
     """68-landmark source pluggable into ImageProcessor: face box (S3FD or
-    provided) → 256² crop → FAN heatmaps → landmarks."""
+    provided) → 256² crop → FAN heatmaps → landmarks.
+
+    Architecture (stack count / width) is inferred from the checkpoint so
+    the same class serves converted 2DFAN4 weights and the packaged
+    1-module fallback."""
 
     def __init__(self, fan_params=None, face_detector=None, dtype=jnp.float32):
-        self.model = FAN2D(dtype=dtype)
+        num_modules, features = 4, 256
+        if fan_params is not None:
+            p = fan_params.get("params", fan_params)
+            num_modules = sum(1 for k in p if k.startswith("m") and
+                              k.endswith("_hg"))
+            features = np.asarray(p["m0_conv_last"]["kernel"]).shape[-1]
+        self.model = FAN2D(num_modules=num_modules, features=features,
+                           dtype=dtype)
         if fan_params is None:
             from ..utils.params import fast_init
 

@@ -40,6 +40,23 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     return os.path.join(ckpt_dir, steps[-1]) if steps else None
 
 
+def restore_host(path: str) -> Dict[str, Any]:
+    """Restore an Orbax checkpoint as plain numpy arrays, ignoring the
+    saved device shardings — serving a trainer checkpoint on a machine
+    with a different device topology (e.g. a dp=4 training mesh →
+    single-chip inference) must not require the training devices."""
+    import jax.tree_util as jtu
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    meta = ckptr.metadata(path).item_metadata
+    tree = meta.tree if hasattr(meta, "tree") else meta
+    restore_args = jtu.tree_map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree,
+        is_leaf=lambda x: not isinstance(x, (dict, list, tuple)))
+    return ckptr.restore(path, restore_args=restore_args)
+
+
 def restore_checkpoint(path: str, template: Dict[str, Any]) -> Dict[str, Any]:
     import orbax.checkpoint as ocp
 

@@ -155,6 +155,22 @@ def default_landmark_detector():
         if os.path.isfile(s3fd_path):
             face_det = S3FDDetector(load_pytree(s3fd_path))
         return FANLandmarkDetector(fan_params, face_detector=face_det)
+    # packaged fallback: a small FAN trained on procedural faces
+    # (scripts/train_landmark_fallback.py) — the zero-checkpoint quality
+    # path, mirroring the reference's always-available mediapipe mesh
+    # (ref:image_processor.py:181-264) without redistributing weights
+    fallback_path = os.path.join(
+        os.path.dirname(__file__), "assets", "landmark_fallback.npz"
+    )
+    if os.path.isfile(fallback_path) and not os.environ.get(
+        "LATENTSYNC_NO_FALLBACK_FAN"
+    ):
+        from ..models.face_detection import FANLandmarkDetector, HaarBoxDetector
+        from .checkpoint import load_pytree
+
+        return FANLandmarkDetector(
+            load_pytree(fallback_path), face_detector=HaarBoxDetector()
+        )
     if not _warned_fallback:
         _warned_fallback = True
         import warnings

@@ -34,11 +34,17 @@ def build_pipeline(args, dtype=jnp.bfloat16):
     else:
         config = LatentSyncConfig()
 
-    # whisper tiny vs small by cross-attn dim (ref:scripts/inference.py:42-47)
-    whisper_cfg = (
-        WhisperConfig.tiny() if config.unet.cross_attention_dim == 384
-        else WhisperConfig.small()
-    )
+    # whisper tiny vs small by cross-attn dim (ref:scripts/inference.py:42-47);
+    # non-release dims (tiny smoke/trained-from-scratch configs) get a
+    # matching-width encoder, same rule as train_unet.run_validation
+    cad = config.unet.cross_attention_dim
+    if cad == 384:
+        whisper_cfg = WhisperConfig.tiny()
+    elif cad == 768:
+        whisper_cfg = WhisperConfig.small()
+    else:
+        whisper_cfg = WhisperConfig(
+            n_audio_state=cad, n_audio_head=max(1, cad // 8), n_audio_layer=1)
 
     # --- whisper ---
     if args.whisper_ckpt and os.path.isfile(args.whisper_ckpt):
@@ -70,7 +76,15 @@ def build_pipeline(args, dtype=jnp.bfloat16):
     unet = UNet3DConditionModel(config.unet, dtype=dtype)
     f = config.data.num_frames
     lat = config.data.resolution // config.vae.scale_factor
-    if args.unet_ckpt and os.path.isfile(args.unet_ckpt):
+    if args.unet_ckpt and os.path.isdir(args.unet_ckpt):
+        # an Orbax step directory written by scripts/train_unet — serve
+        # our own trainer's checkpoints directly (the reference can only
+        # load its torch .pt exports)
+        from latentsync_tpu.utils.checkpoint import restore_host
+
+        unet_params = jax.tree.map(
+            jnp.asarray, restore_host(args.unet_ckpt)["params"])
+    elif args.unet_ckpt and os.path.isfile(args.unet_ckpt):
         sd, step = convert.load_torch_state_dict(args.unet_ckpt)
         loaded = convert.convert_unet(
             sd, config.unet.in_channels, config.unet.out_channels,

@@ -95,12 +95,19 @@ def main():
     p.add_argument("--seed", type=int, default=1247)
     p.add_argument("--window-batch", type=int, default=2)
     p.add_argument("--workdir", default="/tmp/validate_fidelity")
+    p.add_argument("--out", default="",
+                   help="also write the result JSON to this path")
     args = p.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
     from scripts.inference import build_pipeline
 
     have_weights = os.path.isfile(args.unet_ckpt) and os.path.isfile(args.vae_ckpt)
+    # Orbax step dirs from our trainer count as real (trained) weights
+    # for the DEVIATION metrics, but the SyncNet-conf gate still demands
+    # the pretrained evaluator — a tiny from-scratch model proves rung
+    # ORDERING, not production fidelity
+    trained_tiny = os.path.isdir(args.unet_ckpt)
 
     def render(mode: str, spec: str) -> str:
         # fresh pipeline per mode: the knobs are read at denoise-jit
@@ -147,51 +154,77 @@ def main():
         _offset, _min_dist, conf = evaluator.evaluate(path)
         return conf
 
-    conf_exact = conf_of(render("exact", ""))
+    def pixel_delta(path_a: str, path_b: str) -> float:
+        """Mean |Δ| in uint8 pixel units between two renders — the
+        weight-free deviation metric: exact vs rung, same seed, so any
+        difference is the knob's doing. Monotone in rung aggressiveness
+        when the ladder ordering is real."""
+        import numpy as np
 
-    def gate(spec: str):
-        conf_fast = conf_of(render("fast", spec))
+        from latentsync_tpu.utils.media import read_video
+
+        a = np.asarray(read_video(path_a, change_fps=False), np.float32)
+        b = np.asarray(read_video(path_b, change_fps=False), np.float32)
+        n = min(len(a), len(b))
+        return float(np.mean(np.abs(a[:n] - b[:n])))
+
+    exact_path = render("exact", "")
+    conf_exact = conf_of(exact_path)
+
+    def gate(spec: str, tag: str = "fast"):
+        fast_path = render(tag, spec)
+        conf_fast = conf_of(fast_path)
         rel = (abs(conf_fast - conf_exact) / abs(conf_exact)
                if conf_exact else float("inf"))
-        return conf_fast, rel, rel <= args.tolerance
+        return conf_fast, rel, rel <= args.tolerance, pixel_delta(
+            exact_path, fast_path)
+
+    def emit(payload: dict):
+        blob = json.dumps(payload)
+        print(blob)
+        if args.out:
+            with open(args.out, "w") as f:
+                f.write(blob + "\n")
 
     if args.ladder:
         rungs = []
         chosen = None
-        for spec in LADDER:
-            conf_fast, rel, passed = gate(spec)
+        for i, spec in enumerate(LADDER):
+            conf_fast, rel, passed, pix = gate(spec, tag=f"rung{i}")
             rungs.append({"spec": spec, "conf": round(conf_fast, 4),
                           "rel_delta": round(rel, 4),
+                          "pixel_delta": round(pix, 4),
                           "pass": bool(passed)})
-            if passed:
+            if passed and weights == "pretrained":
                 chosen = spec
                 break
-        print(json.dumps({
+        emit({
             "mode": "ladder",
             "conf_exact": round(conf_exact, 4),
             "rungs": rungs,
             "selected": chosen or "exact",
             "tolerance": args.tolerance,
-            "weights": weights,
-            "gate": ("PASS" if chosen else "FAIL (exact only)")
-                    if weights == "pretrained"
-                    else "INCONCLUSIVE (random weights)",
-        }))
+            "weights": "trained-tiny" if trained_tiny else weights,
+            "gate": (("PASS" if chosen else "FAIL (exact only)")
+                     if weights == "pretrained"
+                     else "INCONCLUSIVE (SyncNet evaluator weights absent)"),
+        })
         if weights == "pretrained" and chosen is None:
             sys.exit(1)
         return
 
-    conf_fast, rel, passed = gate(args.fast)
-    print(json.dumps({
+    conf_fast, rel, passed, pix = gate(args.fast)
+    emit({
         "fast_mode": args.fast,
         "conf_exact": round(conf_exact, 4),
         "conf_fast": round(conf_fast, 4),
         "rel_delta": round(rel, 4),
+        "pixel_delta": round(pix, 4),
         "tolerance": args.tolerance,
-        "weights": weights,
+        "weights": "trained-tiny" if trained_tiny else weights,
         "gate": ("PASS" if passed else "FAIL") if weights == "pretrained"
-                else "INCONCLUSIVE (random weights)",
-    }))
+                else "INCONCLUSIVE (SyncNet evaluator weights absent)",
+    })
     if weights == "pretrained" and not passed:
         sys.exit(1)
 

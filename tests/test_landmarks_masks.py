@@ -100,6 +100,8 @@ def test_default_detector_falls_back_with_warning(monkeypatch):
 
     monkeypatch.setattr(ip, "_warned_fallback", False)
     monkeypatch.setenv("LATENTSYNC_FAN_CKPT", "/nonexistent.npz")
+    # disable the packaged trained fallback to reach the last-resort tier
+    monkeypatch.setenv("LATENTSYNC_NO_FALLBACK_FAN", "1")
     with pytest.warns(UserWarning, match="Haar"):
         det = default_landmark_detector()
     from latentsync_tpu.utils.face import HaarAnchorDetector
