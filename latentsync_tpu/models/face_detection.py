@@ -370,6 +370,33 @@ class FAN2D(nn.Module):
         return outputs
 
 
+def decode_heatmaps_device(heat: jnp.ndarray, scale: float = 4.0) -> jnp.ndarray:
+    """Device-side mirror of heatmaps_to_landmarks: (N, H, W, K) →
+    (N, K, 2) sub-pixel argmax coords in input pixels. Keeping the
+    decode inside the jitted forward shrinks the per-call fetch from
+    the full heatmap volume (~1.1 MB/frame through the tunneled
+    transport) to 68 coordinate pairs."""
+    n, h, w, k = heat.shape
+    flat = heat.reshape(n, h * w, k)
+    idx = jnp.argmax(flat, axis=1)  # (N, K)
+    ys, xs = idx // w, idx % w
+    ni = jnp.arange(n)[:, None]
+    ki = jnp.arange(k)[None, :]
+
+    def at(y, x):
+        return heat[ni, y, x, ki]
+
+    interior = (xs > 0) & (xs < w - 1) & (ys > 0) & (ys < h - 1)
+    xc = jnp.clip(xs, 1, w - 2)
+    yc = jnp.clip(ys, 1, h - 2)
+    dx = jnp.sign(at(yc, xc + 1) - at(yc, xc - 1)) * 0.25
+    dy = jnp.sign(at(yc + 1, xc) - at(yc - 1, xc)) * 0.25
+    coords = jnp.stack([xs, ys], -1).astype(jnp.float32)
+    coords = coords + jnp.where(
+        interior[..., None], jnp.stack([dx, dy], -1).astype(jnp.float32), 0.0)
+    return (coords + 0.5) * scale
+
+
 def heatmaps_to_landmarks(heatmaps: np.ndarray, scale: float = 4.0) -> np.ndarray:
     """(B, 64, 64, 68) → (B, 68, 2) sub-pixel argmax landmark coords in
     input-image pixels (face_alignment decoding with the ±0.25 refinement)."""
@@ -436,11 +463,16 @@ class FANLandmarkDetector:
             )
         self.params = fan_params
         self.face_detector = face_detector
-        self._fn = jax.jit(lambda p, x: self.model.apply(p, x)[-1])
+        # uint8 in (4× less H2D traffic on the tunneled transport),
+        # landmark decode ON DEVICE (fetch 68 coord pairs, not the
+        # ~1.1 MB/frame heatmap volume)
+        self._fn = jax.jit(lambda p, x: decode_heatmaps_device(
+            self.model.apply(p, x.astype(jnp.float32) / 255.0)[-1]))
+        # batch-size buckets bound the compile-variant count when a
+        # whole clip's crops run as one device call (detect_batch)
+        self._buckets = (1, 16, 128)
 
-    def __call__(self, image_rgb: np.ndarray) -> np.ndarray:
-        import cv2
-
+    def _crop_box(self, image_rgb: np.ndarray):
         h, w = image_rgb.shape[:2]
         if self.face_detector is not None:
             dets = self.face_detector.detect(image_rgb)
@@ -452,13 +484,44 @@ class FANLandmarkDetector:
             x1, y1, x2, y2 = 0, 0, w, h
         x1, y1 = max(int(x1), 0), max(int(y1), 0)
         x2, y2 = min(int(x2), w), min(int(y2), h)
-        crop = image_rgb[y1:y2, x1:x2]
-        crop = cv2.resize(crop, (256, 256)).astype(np.float32) / 255.0
-        heat = np.asarray(self._fn(self.params, jnp.asarray(crop[None])))
-        lm = heatmaps_to_landmarks(heat)[0]  # 256-px crop coords
-        lm[:, 0] = lm[:, 0] * (x2 - x1) / 256.0 + x1
-        lm[:, 1] = lm[:, 1] * (y2 - y1) / 256.0 + y1
-        return lm
+        return x1, y1, x2, y2
+
+    def _run_bucketed(self, crops_u8: np.ndarray) -> np.ndarray:
+        """(N, 256, 256, 3) uint8 → (N, 68, 2) crop-space landmarks via
+        fixed-size padded device calls."""
+        n = crops_u8.shape[0]
+        out = np.empty((n, 68, 2), np.float32)
+        i = 0
+        while i < n:
+            take = min(n - i, self._buckets[-1])
+            size = next(b for b in self._buckets if b >= take)
+            batch = np.zeros((size, 256, 256, 3), np.uint8)
+            batch[:take] = crops_u8[i : i + take]
+            lm = np.asarray(self._fn(self.params, jnp.asarray(batch)))
+            out[i : i + take] = lm[:take]
+            i += take
+        return out
+
+    def detect_batch(self, images) -> np.ndarray:
+        """Whole-clip landmark pass: per-frame box detect (host) +
+        ONE bucketed device call for the FAN forward — through the
+        tunneled transport this replaces per-frame dispatch+fetch
+        round-trips with a single transfer each way."""
+        import cv2
+
+        boxes = [self._crop_box(img) for img in images]
+        crops = np.stack([
+            cv2.resize(img[y1:y2, x1:x2], (256, 256))
+            for img, (x1, y1, x2, y2) in zip(images, boxes)
+        ])
+        lms = self._run_bucketed(crops)
+        for lm, (x1, y1, x2, y2) in zip(lms, boxes):
+            lm[:, 0] = lm[:, 0] * (x2 - x1) / 256.0 + x1
+            lm[:, 1] = lm[:, 1] * (y2 - y1) / 256.0 + y1
+        return lms
+
+    def __call__(self, image_rgb: np.ndarray) -> np.ndarray:
+        return self.detect_batch([image_rgb])[0]
 
 
 def init_detection_model(model_name: str, params=None, dtype=None):

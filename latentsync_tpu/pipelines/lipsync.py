@@ -560,13 +560,10 @@ class LipsyncPipeline:
                                   "precompute_avatar_latents")
                 else:
                     frames = read_video(video_path, change_fps=True, fps=video_fps)
-                    faces, boxes, matrices = [], [], []
-                    for frame in frames:
-                        face, box, matrix = processor.affine_transform(frame)
-                        faces.append(face)
-                        boxes.append(box)
-                        matrices.append(matrix)
-                    faces = np.stack(faces)
+                    # batched: a model landmark source runs ONE device
+                    # call for the whole clip (see affine_transform_batch)
+                    faces, boxes, matrices = processor.affine_transform_batch(
+                        frames)
                 face_result.update(
                     faces=faces, boxes=boxes, matrices=matrices, frames=frames)
             except Exception as e:  # noqa: BLE001 — re-raised on join

@@ -233,12 +233,48 @@ class ImageProcessor:
         """Frame → (face_crop_resolution², box, 2×3 matrix)
         (ref:image_processor.py:118-143)."""
         anchor3 = self.detect_anchor3(image_rgb)
+        return self._warp_from_anchor3(image_rgb, anchor3)
+
+    def _warp_from_anchor3(self, image_rgb: np.ndarray, anchor3: np.ndarray):
         face, matrix = self.restorer.align_warp_face(image_rgb, anchor3)
         box = [0, 0, face.shape[1], face.shape[0]]
         face = cv2.resize(
             face, (self.resolution, self.resolution), interpolation=cv2.INTER_LANCZOS4
         )
         return face, box, matrix
+
+    def affine_transform_batch(self, frames):
+        """Whole-clip affine pass → (faces (N, r, r, 3), boxes, matrices).
+
+        When the landmark source exposes `detect_batch` (the FAN
+        detectors), the model forward for ALL frames runs as one
+        bucketed device call instead of a per-frame dispatch — on the
+        tunneled TPU transport that turns N round-trips into one.
+        Smoothing and warps stay per-frame in order, so results match
+        the sequential path exactly."""
+        det = self.landmark_detector
+        if det is None:
+            det = self.landmark_detector = default_landmark_detector()
+        faces, boxes, matrices = [], [], []
+        if hasattr(det, "detect_batch"):
+            lms = det.detect_batch(frames)
+            for frame, lm in zip(frames, lms):
+                lm = np.asarray(lm)
+                if lm.shape[0] == 478:
+                    lm = mediapipe_lm478_to_lm68(lm)
+                anchor3 = (landmarks68_to_anchor3(self.smoother(lm))
+                           if lm.shape[0] == 68 else lm)
+                face, box, matrix = self._warp_from_anchor3(frame, anchor3)
+                faces.append(face)
+                boxes.append(box)
+                matrices.append(matrix)
+        else:
+            for frame in frames:
+                face, box, matrix = self.affine_transform(frame)
+                faces.append(face)
+                boxes.append(box)
+                matrices.append(matrix)
+        return np.stack(faces), boxes, matrices
 
     # -- normalization / masking -------------------------------------------
 

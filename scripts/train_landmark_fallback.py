@@ -79,6 +79,10 @@ def main():
     ap.add_argument("--features", type=int, default=128)
     ap.add_argument("--modules", type=int, default=1)
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--pos-weight", type=float, default=30.0,
+                    help="extra MSE weight on heatmap-positive pixels")
+    ap.add_argument("--sigma", type=float, default=1.5,
+                    help="gaussian target radius on the 64² grid")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--eval-every", type=int, default=250)
     ap.add_argument("--out", default=os.path.join(
@@ -119,17 +123,27 @@ def main():
     )
     opt_state = tx.init(params)
 
+    # the dataset arrays are ARGUMENTS, not closure captures: a closed-over
+    # device array is baked into the jaxpr as a constant, and a ~786 MB
+    # constant blows up the tunneled remote-compile payload (observed:
+    # "Broken pipe" at first train_step)
     @jax.jit
-    def train_step(params, batch_stats, opt_state, key):
+    def train_step(params, batch_stats, opt_state, key, d_imgs, d_lms):
         idx = jax.random.randint(key, (args.batch,), n_eval, args.dataset)
         x = d_imgs[idx].astype(jnp.float32) / 255.0
-        target = device_heatmaps(d_lms[idx])
+        target = device_heatmaps(d_lms[idx], sigma=args.sigma)
 
         def loss_fn(p):
             outs, mut = model_t.apply(
                 {"params": p, "batch_stats": batch_stats}, x,
                 mutable=["batch_stats"])
-            loss = sum(jnp.mean((o - target) ** 2) for o in outs)
+            # positive-weighted MSE: the gaussian footprint is ~0.3% of
+            # each 64² map, so plain MSE collapses to the all-zeros
+            # optimum (observed: loss pinned at mean(target²)≈7.7e-4,
+            # NME ~0.71 = argmax noise). Weighting the peak region pulls
+            # the gradient toward localization.
+            w = 1.0 + args.pos_weight * target
+            loss = sum(jnp.mean(w * (o - target) ** 2) for o in outs)
             return loss, mut["batch_stats"]
 
         (loss, new_bs), grads = jax.value_and_grad(
@@ -138,7 +152,7 @@ def main():
         return optax.apply_updates(params, updates), new_bs, new_opt, loss
 
     @jax.jit
-    def eval_nme(params, batch_stats):
+    def eval_nme(params, batch_stats, d_imgs, d_lms):
         x = d_imgs[:n_eval].astype(jnp.float32) / 255.0
         heat = model_e.apply(
             {"params": params, "batch_stats": batch_stats}, x)[-1]
@@ -149,9 +163,9 @@ def main():
     for step in range(1, args.steps + 1):
         key, sub = jax.random.split(key)
         params, batch_stats, opt_state, loss = train_step(
-            params, batch_stats, opt_state, sub)
+            params, batch_stats, opt_state, sub, d_imgs, d_lms)
         if step % args.eval_every == 0 or step == args.steps:
-            v = float(eval_nme(params, batch_stats))
+            v = float(eval_nme(params, batch_stats, d_imgs, d_lms))
             print(f"step {step:5d}  loss {float(loss):.5f}  "
                   f"eval NME {v:.4f}  ({time.time() - t0:.0f}s)", flush=True)
 

@@ -144,6 +144,50 @@ def test_haar_box_detector_protocol():
     assert x2 > x1 and y2 > y1
 
 
+def test_device_decode_matches_numpy_decode():
+    from latentsync_tpu.models.face_detection import (
+        decode_heatmaps_device,
+        heatmaps_to_landmarks,
+    )
+
+    heat = np.random.default_rng(0).standard_normal((3, 64, 64, 68)).astype(
+        np.float32)
+    dev = np.asarray(decode_heatmaps_device(jnp.asarray(heat)))
+    ref = heatmaps_to_landmarks(heat)
+    assert np.allclose(dev, ref, atol=1e-5), np.abs(dev - ref).max()
+
+
+def _tiny_detector():
+    from latentsync_tpu.models.face_detection import FAN2D, FANLandmarkDetector
+
+    variables = FAN2D(num_modules=1, features=32).init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3)))
+    return FANLandmarkDetector(jax.tree.map(np.asarray, variables))
+
+
+def test_detect_batch_matches_per_frame_calls():
+    det = _tiny_detector()  # random init, whole-frame crop
+    rng = np.random.default_rng(1)
+    frames = [rng.integers(0, 255, (120, 160, 3)).astype(np.uint8)
+              for _ in range(3)]
+    batched = det.detect_batch(frames)
+    single = np.stack([det(f) for f in frames])
+    assert batched.shape == (3, 68, 2)
+    assert np.allclose(batched, single, atol=1e-4)
+
+
+def test_bucketed_padding_does_not_leak():
+    """Padded (zero) rows in a bucket must not change real rows: run
+    the same crop as bucket-of-1 and inside a padded bucket-of-16."""
+    det = _tiny_detector()
+    crop = np.random.default_rng(2).integers(
+        0, 255, (256, 256, 3)).astype(np.uint8)
+    one = det._run_bucketed(crop[None])
+    many = det._run_bucketed(np.stack([crop] * 3))
+    assert np.allclose(one[0], many[0], atol=1e-4)
+    assert np.allclose(many[0], many[2], atol=1e-4)
+
+
 # ---------------------------------------------------------------------------
 # packaged asset wiring + accuracy (skipped until the asset is trained)
 # ---------------------------------------------------------------------------
