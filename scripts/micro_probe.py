@@ -39,20 +39,28 @@ def fetch_sync(x):
     np.asarray(jax.device_get(leaf.ravel()[:1]))
 
 
-def bench_loop(name, step_fn, x0, flops_per_iter, iters=20, rounds=3):
+def bench_loop(name, step_fn, x0, flops_per_iter, iters=20, rounds=3,
+               const_args=()):
     """Time `iters` chained applications of step_fn inside one jit,
-    repeated `rounds` times with one trailing fetch."""
+    repeated `rounds` times with one trailing fetch.
+
+    Large operands (e.g. a full params tree) MUST ride `const_args`, not
+    a closure: closed-over device arrays are baked into the jaxpr as
+    constants, and a multi-GB constant blob blows up the tunneled
+    remote-compile payload (observed: 2.5 GB lowering warning, then the
+    compile wedges/breaks the pipe)."""
 
     @jax.jit
-    def run(x):
-        return jax.lax.fori_loop(0, iters, lambda i, y: step_fn(y), x)
+    def run(x, *cargs):
+        return jax.lax.fori_loop(
+            0, iters, lambda i, y: step_fn(y, *cargs), x)
 
-    compiled = run.lower(x0).compile()
-    out = compiled(x0)
+    compiled = run.lower(x0, *const_args).compile()
+    out = compiled(x0, *const_args)
     fetch_sync(out)  # compile + warmup barrier
     t0 = time.perf_counter()
     for _ in range(rounds):
-        out = compiled(out)
+        out = compiled(out, *const_args)
     fetch_sync(out)
     t = (time.perf_counter() - t0) / (rounds * iters)
     print(json.dumps({
@@ -560,11 +568,12 @@ def main():
             fl = float(cost.get("flops", 0.0)) if cost else 0.0
             del single
 
-            def step(y, u=unet, p=params, a=audio, tv=tvec):
+            def step(y, p, u=unet, a=audio, tv=tvec):
                 eps = u.apply(p, y, tv, a)
                 return jnp.concatenate([eps.astype(dt), y[..., 4:]], axis=-1)
 
-            t = bench_loop(f"unet_fwd_{name}_b{b}", step, sample, fl, iters=5)
+            t = bench_loop(f"unet_fwd_{name}_b{b}", step, sample, fl, iters=5,
+                           const_args=(params,))
             if name == "full":
                 print(json.dumps({
                     "name": "denoise_estimate",

@@ -80,7 +80,13 @@ def test_eye_mask_splits_at_landmark_row():
     assert np.all(masks[0, 20:, :, 0] == 0.0)
 
 
-def test_mask_mode_without_landmarks_raises():
+def test_mask_mode_without_landmarks_raises(monkeypatch):
+    # with the packaged fallback FAN disabled (and no user checkpoint),
+    # the landmark-driven modes have only box anchors and must refuse;
+    # with the fallback present they work out of the box (covered by
+    # tests/test_landmark_fallback.py)
+    monkeypatch.setenv("LATENTSYNC_FAN_CKPT", "/nonexistent.npz")
+    monkeypatch.setenv("LATENTSYNC_NO_FALLBACK_FAN", "1")
     proc = ImageProcessor(resolution=32, mask="mouth")
     with pytest.raises(ValueError):
         proc.prepare_masks_and_masked_images(np.zeros((1, 32, 32, 3), np.uint8))
@@ -318,6 +324,7 @@ def test_landmark_mask_anchor_detector_rejected():
             np.zeros((1, res, res, 3), np.uint8))
 
 
+@pytest.mark.slow
 def test_live_fan_path_on_demo_video(tmp_path, monkeypatch):
     """E2E fixture for the LIVE FAN path (VERDICT r3 weak #5): converted
     torch FAN weights on disk → $LATENTSYNC_FAN_CKPT → ImageProcessor
