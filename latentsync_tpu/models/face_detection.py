@@ -502,14 +502,9 @@ class FANLandmarkDetector:
             i += take
         return out
 
-    def detect_batch(self, images) -> np.ndarray:
-        """Whole-clip landmark pass: per-frame box detect (host) +
-        ONE bucketed device call for the FAN forward — through the
-        tunneled transport this replaces per-frame dispatch+fetch
-        round-trips with a single transfer each way."""
+    def _pass(self, images, boxes) -> np.ndarray:
         import cv2
 
-        boxes = [self._crop_box(img) for img in images]
         crops = np.stack([
             cv2.resize(img[y1:y2, x1:x2], (256, 256))
             for img, (x1, y1, x2, y2) in zip(images, boxes)
@@ -518,6 +513,38 @@ class FANLandmarkDetector:
         for lm, (x1, y1, x2, y2) in zip(lms, boxes):
             lm[:, 0] = lm[:, 0] * (x2 - x1) / 256.0 + x1
             lm[:, 1] = lm[:, 1] * (y2 - y1) / 256.0 + y1
+        return lms
+
+    def detect_batch(self, images) -> np.ndarray:
+        """Whole-clip landmark pass: per-frame box detect (host) +
+        ONE bucketed device call for the FAN forward — through the
+        tunneled transport this replaces per-frame dispatch+fetch
+        round-trips with a single transfer each way.
+
+        Two passes, self-localizing: when the box stage is weak (the
+        OpenCV-5 no-cascade heuristic), pass 1's crop carries a lot of
+        background, outside the face-filling crop distribution the net
+        was trained on. Pass 2 re-crops around pass 1's landmark bbox
+        (median-pooled over the clip — the track is for one face) and
+        re-runs, which puts the face at the trained framing."""
+        boxes = [self._crop_box(img) for img in images]
+        lms = self._pass(images, boxes)
+        # clip-level consensus box from the landmark track
+        per = np.stack([
+            [lm[:, 0].min(), lm[:, 1].min(), lm[:, 0].max(), lm[:, 1].max()]
+            for lm in lms
+        ])
+        x1, y1 = np.median(per[:, 0]), np.median(per[:, 1])
+        x2, y2 = np.median(per[:, 2]), np.median(per[:, 3])
+        cx, cy = (x1 + x2) / 2, (y1 + y2) / 2
+        half = max(x2 - x1, y2 - y1) * 0.62  # landmark span → head + margin
+        h_img, w_img = images[0].shape[:2]
+        rx1 = int(max(cx - half, 0))
+        rx2 = int(min(cx + half, w_img))
+        ry1 = int(max(cy - half * 1.1, 0))
+        ry2 = int(min(cy + half * 0.9, h_img))
+        if rx2 - rx1 > 16 and ry2 - ry1 > 16:
+            lms = self._pass(images, [(rx1, ry1, rx2, ry2)] * len(images))
         return lms
 
     def __call__(self, image_rgb: np.ndarray) -> np.ndarray:

@@ -76,10 +76,16 @@ def _similarity(theta: float, scale: float, tx: float, ty: float) -> np.ndarray:
 
 
 def render_face(
-    rng: np.random.Generator, size: int = 256
+    rng: np.random.Generator, size: int = 256, hair_p: float = 0.0
 ) -> Tuple[np.ndarray, np.ndarray]:
     """One synthetic face crop. Returns (image uint8 (size, size, 3) RGB,
-    landmarks (68, 2) float in pixel coords)."""
+    landmarks (68, 2) float in pixel coords).
+
+    `hair_p`: probability of rendering a hair fringe + side curtains.
+    MEASURED NEGATIVE for the shipped fallback (r5): training with
+    hair_p=0.85 made the net latch onto background drapery as "hair" on
+    the real demo photo and scatter the whole track off-face; the
+    shipped asset trains with hair_p=0. Kept opt-in for experiments."""
     import cv2
 
     # pose: face center near crop center, half-height 35-60% of the crop
@@ -137,6 +143,40 @@ def render_face(
     # jaw shading along the contour
     cv2.polylines(img, [pts[0:17].astype(np.int32)], False,
                   tuple(int(v) for v in np.clip(skin * 0.75, 0, 255)), 2)
+
+    # hair: real faces carry hair over the forehead and down the jaw
+    # sides — without it the trained net scatters brow/jaw heatmaps
+    # into background clutter on photos (observed on the demo fixture).
+    # A fringe band hugging the forehead arc plus optional side curtains
+    # over the outer jaw keeps the visible-feature geometry identical
+    # while teaching "dark textured mass adjacent to the face boundary".
+    if rng.uniform() < hair_p:
+        hair_col = tuple(int(v) for v in rng.integers(5, 110, 3))
+        depth = rng.uniform(0.15, 0.45)  # fringe drop (brows stay mostly visible)
+        outer = np.stack([
+            0.98 * t_f * width_jit,
+            0.15 - 1.25 * np.sqrt(np.clip(1 - t_f**2, 0, 1)),
+        ], -1)
+        inner = np.stack([
+            0.82 * np.linspace(-1.0, 1.0, 17) * width_jit,
+            0.15 - (0.95 - depth) * np.sqrt(
+                np.clip(1 - np.linspace(-1.0, 1.0, 17) ** 2, 0, 1))
+            + rng.normal(0, 0.03, 17),  # ragged fringe edge
+        ], -1)
+        band = np.concatenate([outer, inner], axis=0) @ mat[:, :2].T + mat[:, 2]
+        cv2.fillPoly(img, [band.astype(np.int32)], hair_col)
+        if rng.uniform() < 0.6:  # side curtains over the outer jaw
+            for sgn in (-1.0, 1.0):
+                tc = np.linspace(0.55, 1.0, 8) * sgn
+                edge = np.stack([
+                    0.84 * tc * width_jit,
+                    0.15 + 0.80 * np.sqrt(np.clip(1 - tc**2, 0, 1)),
+                ], -1)
+                out_e = edge * np.array([rng.uniform(1.15, 1.45), 1.0]) \
+                    + np.array([0.0, rng.uniform(0.0, 0.25)])
+                poly = np.concatenate([edge, out_e[::-1]], axis=0) \
+                    @ mat[:, :2].T + mat[:, 2]
+                cv2.fillPoly(img, [poly.astype(np.int32)], hair_col)
 
     # brows
     brow_col = tuple(int(v) for v in rng.integers(10, 90, 3))

@@ -581,6 +581,44 @@ def main():
                 }), flush=True)
             del params
 
+    if which in ("all", "tmod"):
+        # Standalone TemporalModule per UNet level (r5: the ablation puts
+        # the temporal family at 49.7 ms/step = 38% of the exact forward
+        # at ~11% MFU — find where inside the module it goes). Counts at
+        # the release config: 5 modules at res 32/c320, 5 at 16/640,
+        # 5 at 8/1280, 6 at 4/1280 (2·layers down + mid + 3·layers up).
+        from latentsync_tpu.config import LatentSyncConfig
+        from latentsync_tpu.models.unet3d import TemporalModule
+        from latentsync_tpu.utils.params import cast_floating, fast_init
+
+        mm = LatentSyncConfig().unet.motion_module
+        b = 2 * W  # CFG-batched videos
+        for s_res, c, n_mod in ((32, 320, 5), (16, 640, 5),
+                                (8, 1280, 5), (4, 1280, 6)):
+            mod = TemporalModule(c, mm, 32, dtype=dt)
+            x0 = jnp.asarray(
+                rng.standard_normal((b, 16, s_res, s_res, c)), dt)
+            params = cast_floating(
+                fast_init(lambda y, m=mod: m.init(jax.random.PRNGKey(0), y),
+                          x0), dt)
+            single = jax.jit(
+                lambda p, y, m=mod: m.apply(p, y)
+            ).lower(params, x0).compile()
+            cost = single.cost_analysis()
+            fl = float(cost.get("flops", 0.0)) if cost else 0.0
+            del single
+
+            def step(y, p, m=mod):
+                return m.apply(p, y)
+
+            t = bench_loop(f"tmod_res{s_res}_c{c}", step, x0, fl, iters=5,
+                           const_args=(params,))
+            print(json.dumps({"name": f"tmod_res{s_res}_c{c}_family",
+                              "n_modules": n_mod,
+                              "family_ms": round(t * 1e3 * n_mod, 2)}),
+                  flush=True)
+            del params
+
     if which in ("all", "dcread"):
         # DeepCache read-step cost: full forward vs plain shallow slice
         # vs encoder-propagation slice (docs/perf_audit.md r03 FLOP cuts)

@@ -83,6 +83,10 @@ def main():
                     help="extra MSE weight on heatmap-positive pixels")
     ap.add_argument("--sigma", type=float, default=1.5,
                     help="gaussian target radius on the 64² grid")
+    ap.add_argument("--hair-p", type=float, default=0.0,
+                    help="hair-rendering probability — measured NEGATIVE "
+                         "for real-photo generalization (see "
+                         "synthetic_faces.render_face); shipped asset uses 0")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--eval-every", type=int, default=250)
     ap.add_argument("--out", default=os.path.join(
@@ -96,7 +100,7 @@ def main():
     imgs = np.empty((args.dataset, 256, 256, 3), np.uint8)
     lms = np.empty((args.dataset, 68, 2), np.float32)
     for i in range(args.dataset):
-        imgs[i], lms[i] = render_face(rng, 256)
+        imgs[i], lms[i] = render_face(rng, 256, hair_p=args.hair_p)
     print(f"generated {args.dataset} faces in {time.time() - t0:.1f}s",
           flush=True)
 
