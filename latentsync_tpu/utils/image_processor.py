@@ -128,6 +128,7 @@ def _generated_mouth_mask(resolution: int) -> np.ndarray:
 
 
 _warned_fallback = False
+_detector_cache = {}
 
 
 def default_landmark_detector():
@@ -137,6 +138,21 @@ def default_landmark_detector():
     $LATENTSYNC_FAN_CKPT / $LATENTSYNC_S3FD_CKPT (.npz pytrees from
     scripts/convert or .pth via convert_fan), with the Haar-box heuristic
     demoted to an explicit, warned fallback."""
+    # memoized per env configuration: a model detector holds a jitted
+    # forward whose compile cache lives on the FUNCTION OBJECT — building
+    # a fresh detector per ImageProcessor (one per pipeline call) forced a
+    # full remote recompile of the FAN buckets on EVERY clip through the
+    # tunneled backend (measured: the bench e2e faces stage blew up from
+    # ~2 s to 40-90 s/run). The detectors are stateless across clips.
+    cache_key = tuple(os.environ.get(k, "") for k in (
+        "LATENTSYNC_FAN_CKPT", "LATENTSYNC_S3FD_CKPT",
+        "LATENTSYNC_NO_FALLBACK_FAN"))
+    if cache_key not in _detector_cache:
+        _detector_cache[cache_key] = _build_default_landmark_detector()
+    return _detector_cache[cache_key]
+
+
+def _build_default_landmark_detector():
     global _warned_fallback
     fan_path = os.environ.get("LATENTSYNC_FAN_CKPT", "checkpoints/2dfan4.npz")
     if os.path.isfile(fan_path):

@@ -198,6 +198,23 @@ needs_asset = pytest.mark.skipif(
 
 
 @needs_asset
+def test_default_detector_is_memoized(monkeypatch):
+    """One detector per env config: a fresh detector per ImageProcessor
+    re-jits the FAN and forces a remote recompile per clip on the
+    tunneled backend (measured 40-90 s/run in the r5 bench)."""
+    import latentsync_tpu.utils.image_processor as ip
+
+    monkeypatch.setenv("LATENTSYNC_FAN_CKPT", "/nonexistent.npz")
+    monkeypatch.delenv("LATENTSYNC_NO_FALLBACK_FAN", raising=False)
+    a = ip.default_landmark_detector()
+    b = ip.default_landmark_detector()
+    assert a is b
+    monkeypatch.setenv("LATENTSYNC_NO_FALLBACK_FAN", "1")
+    c = ip.default_landmark_detector()
+    assert c is not a
+
+
+@needs_asset
 def test_default_detector_uses_packaged_fallback(monkeypatch):
     import latentsync_tpu.utils.image_processor as ip
     from latentsync_tpu.models.face_detection import FANLandmarkDetector
