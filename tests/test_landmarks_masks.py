@@ -105,6 +105,7 @@ def test_default_detector_falls_back_with_warning(monkeypatch):
     import latentsync_tpu.utils.image_processor as ip
 
     monkeypatch.setattr(ip, "_warned_fallback", False)
+    monkeypatch.setattr(ip, "_detector_cache", {})  # force a rebuild
     monkeypatch.setenv("LATENTSYNC_FAN_CKPT", "/nonexistent.npz")
     # disable the packaged trained fallback to reach the last-resort tier
     monkeypatch.setenv("LATENTSYNC_NO_FALLBACK_FAN", "1")
