@@ -796,7 +796,12 @@ class LipsyncPipeline:
         m_all = masks[..., :1].astype(np.float32)
         pix_u8 = np.clip((pixel_values + 1.0) * 127.5, 0, 255)
         mats = np.stack([np.asarray(m, np.float64) for m in matrices[:total]])
-        out_frames = np.asarray(frames[:total]).copy()
+        # finish owns the JobState: paste back INTO the decoded frame
+        # array rather than copying it first (~0.8 GB per 1080p clip —
+        # measured as memory-pressure stalls on the bench host)
+        out_frames = np.asarray(frames[:total])
+        if not out_frames.flags.writeable:
+            out_frames = out_frames.copy()
         crop_hws = [
             (int(b[3] - b[1]), int(b[2] - b[0])) for b in boxes[:total]
         ]
@@ -869,6 +874,16 @@ class LipsyncPipeline:
                 groups.setdefault(crop_hws[idx], []).append(idx)
             for crop_hw, idxs in groups.items():
                 idx_arr = np.asarray(idxs)
+                if len(groups) == 1 and len(idx_arr) == sl.stop - sl.start:
+                    # single crop size (the live-path case): restore the
+                    # chunk IN PLACE through a slice view — the fancy-
+                    # index round trip copied each 1080p chunk twice
+                    view = out_frames[sl]
+                    restored = self._restore_group(
+                        view, combined, mats[sl], crop_hw, processor)
+                    if restored is not view:
+                        out_frames[sl] = restored
+                    continue
                 restored = self._restore_group(
                     out_frames[idx_arr], combined[idx_arr - sl.start],
                     mats[idx_arr], crop_hw, processor,

@@ -26,7 +26,14 @@ def repeat_to_length(array: Arr, target_length: int) -> Arr:
         return array[:target_length]
     factor = -(-target_length // n)
     if isinstance(array, np.ndarray):
-        return np.tile(array, (factor,) + (1,) * (array.ndim - 1))[:target_length]
+        # concatenate exactly target_length rows — np.tile materializes
+        # factor*n rows before the slice, which for a video frame array
+        # (125×1080p ≈ 0.8 GB) transiently doubles the allocation and
+        # pins the full tile behind the returned view
+        parts = [array] * (target_length // n)
+        if target_length % n:
+            parts.append(array[: target_length % n])
+        return parts[0][:target_length] if len(parts) == 1 else np.concatenate(parts)
     return (list(array) * factor)[:target_length]
 
 
