@@ -24,16 +24,14 @@ def generate_affine_bundle(
     from ..utils.media import read_video
 
     frames = read_video(video_path, change_fps=True, fps=fps)
-    faces, boxes, matrices = [], [], []
-    for frame in frames:
-        face, box, matrix = processor.affine_transform(frame)
-        faces.append(face)
-        boxes.append(box)
-        matrices.append(matrix)
+    # batched: a model landmark source runs one bucketed device call for
+    # the whole clip instead of a per-frame dispatch (image_processor.
+    # affine_transform_batch); results match the sequential path exactly
+    faces, boxes, matrices = processor.affine_transform_batch(frames)
     os.makedirs(os.path.dirname(bundle_path) or ".", exist_ok=True)
     np.savez_compressed(
         bundle_path,
-        faces=np.stack(faces),
+        faces=np.asarray(faces),
         boxes=np.asarray(boxes),
         affine_matrices=np.stack(matrices),
     )
