@@ -19,9 +19,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# the env-var-only setdefault this used to do inside main() ran AFTER
+# `import jax`, so the persistent cache silently never engaged and every
+# bench run cold-compiled all three denoise programs (~minutes each on
+# this 1-core host); enable_compile_cache is import-order-safe
+from latentsync_tpu.utils.misc import enable_compile_cache
+
+enable_compile_cache()
+
 
 def main():
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
     # int8 conv execution is the production inference mode (measured
     # 1.5-1.6x on the conv family, docs/perf_audit.md; fidelity gate is
     # statistical — validation protocol in the audit). LATENTSYNC_INT8=0

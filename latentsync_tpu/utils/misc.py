@@ -20,6 +20,22 @@ from typing import List, Optional, Sequence
 import numpy as np
 
 
+def enable_compile_cache(path: str = "/root/.jax_cache") -> str:
+    """Turn on JAX's persistent compilation cache, import-order-safe.
+
+    `os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", ...)` only works
+    BEFORE `import jax` — the config default is read at import time, so
+    setting the env var inside main() silently leaves the cache off and
+    every process cold-compiles (minutes per denoise program on a
+    1-core host). jax.config.update works regardless of import order.
+    Honors an already-exported JAX_COMPILATION_CACHE_DIR."""
+    path = os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", path)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", path)
+    return path
+
+
 def download_file(url: str, dst: str, timeout: float = 60.0) -> str:
     os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)
     with urllib.request.urlopen(url, timeout=timeout) as r, open(dst, "wb") as f:

@@ -119,7 +119,9 @@ def build_pipeline(args, dtype=jnp.bfloat16):
 
 
 def main():
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+    from latentsync_tpu.utils.misc import enable_compile_cache
+
+    enable_compile_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--video", required=True, dest="video_path")
     p.add_argument("--audio", required=True, dest="audio_path")

@@ -58,7 +58,9 @@ def main():
     ap.add_argument("--rounds", type=int, default=5)
     args = ap.parse_args()
 
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+    from latentsync_tpu.utils.misc import enable_compile_cache
+
+    enable_compile_cache()
     from latentsync_tpu.audio.features import Audio2Feature
     from latentsync_tpu.config import LatentSyncConfig, WhisperConfig
     from latentsync_tpu.models.unet3d import UNet3DConditionModel

@@ -71,7 +71,9 @@ def _clear_fast_env():
 
 
 def main():
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+    from latentsync_tpu.utils.misc import enable_compile_cache
+
+    enable_compile_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--video", required=True)
     p.add_argument("--audio", required=True)

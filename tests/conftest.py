@@ -19,6 +19,10 @@ jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu", jax.default_backend()
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+# jax is already imported above — the env default was read at import
+# time, so it must also be pushed through the live config
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
