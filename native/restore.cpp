@@ -76,52 +76,105 @@ inline float border_read(const float* row, int n, int x, bool rep_lo,
   return row[x];
 }
 
-// O(1)-per-pixel sliding-window minimum (monotonic deque) over one line
-// with the erode window [x-r, x+k-1-r] (cv2 anchor k/2).
+// Sliding-window minimum over one line with the erode window
+// [x-r, x+k-1-r] (cv2 anchor k/2), van Herk/Gil-Werman: block prefix +
+// suffix running mins over a border-padded copy, then
+// out[x] = min(suffix[win_lo], prefix[win_hi]) — ~3 linear passes with
+// no per-element branching (the former monotonic deque paid two border
+// branches plus deque traffic per access). min() is order-independent,
+// so results are exactly the former ones. `scratch` is caller-provided
+// reusable storage (3 spans of n + k floats).
 void slide_min_line(const float* src, float* dst, int n, int k, bool rep_lo,
-                    bool rep_hi, std::vector<int>& dq) {
+                    bool rep_hi, std::vector<float>& scratch) {
   int r = k / 2;
-  dq.clear();
-  int head = 0;  // dq[head..] are candidate indices, values increasing
-  auto val = [&](int x) { return border_read(src, n, x, rep_lo, rep_hi); };
   int lead = k - 1 - r;
-  // prime the window for x = 0: indices [-r, lead)
-  for (int x = -r; x < lead; ++x) {
-    while (static_cast<int>(dq.size()) > head && val(dq.back()) >= val(x))
-      dq.pop_back();
-    dq.push_back(x);
+  int np = n + r + lead;  // padded indices map x → x + r
+  if (static_cast<int>(scratch.size()) < 3 * np) scratch.resize(3 * np);
+  float* pad = scratch.data();
+  float* pre = pad + np;
+  float* suf = pre + np;
+  float lo_v = rep_lo ? src[0] : 0.f;
+  float hi_v = rep_hi ? src[n - 1] : 0.f;
+  for (int i = 0; i < r; ++i) pad[i] = lo_v;
+  std::memcpy(pad + r, src, sizeof(float) * n);
+  for (int i = 0; i < lead; ++i) pad[r + n + i] = hi_v;
+  // block prefix mins (left→right within blocks of k)
+  for (int b = 0; b < np; b += k) {
+    int e = std::min(b + k, np);
+    float m = pad[b];
+    pre[b] = m;
+    for (int i = b + 1; i < e; ++i) { m = std::min(m, pad[i]); pre[i] = m; }
   }
+  // block suffix mins (right→left within the same blocks)
+  for (int b = 0; b < np; b += k) {
+    int e = std::min(b + k, np);
+    float m = pad[e - 1];
+    suf[e - 1] = m;
+    for (int i = e - 2; i >= b; --i) { m = std::min(m, pad[i]); suf[i] = m; }
+  }
+  // window [x, x+k-1] in padded coords; its halves land in ≤2 blocks
   for (int x = 0; x < n; ++x) {
-    int in = x + lead;
-    while (static_cast<int>(dq.size()) > head && val(dq.back()) >= val(in))
-      dq.pop_back();
-    dq.push_back(in);
-    while (dq[head] < x - r) ++head;
-    dst[x] = val(dq[head]);
+    int wl = x, wh = x + k - 1;
+    dst[x] = (wh < np ? std::min(suf[wl], pre[wh]) : suf[wl]);
   }
 }
 
 // Separable box-min (erosion by k×k square) over an (h, w) working
 // region; rep_* flag frame-edge replicate semantics per side.
+//
+// The vertical pass runs tap-outer over whole ROWS (elementwise min of
+// shifted rows — contiguous, SIMD-friendly) instead of the former
+// per-column copy/deque/copy-back, which thrashed the cache at the
+// ~1000-row working regions the live path produces. min() is
+// order-independent, so the result is exactly the former one; an
+// out-of-range tap row reads as 0 (the true mask value beyond the
+// region) unless frame-edge replicate applies, and min(x, 0) == 0 for
+// the non-negative mask values, so such rows zero out exactly as the
+// former border_read did.
 void erode(std::vector<float>& m, std::vector<float>& tmp, int h, int w, int k,
            bool rep_l = false, bool rep_r = false, bool rep_t = false,
            bool rep_b = false) {
   if (k <= 1) return;
-  std::vector<int> dq;
-  std::vector<float> col(h), colo(h);
+  std::vector<float> scratch;
   for (int y = 0; y < h; ++y)
     slide_min_line(m.data() + static_cast<size_t>(y) * w,
                    tmp.data() + static_cast<size_t>(y) * w, w, k, rep_l, rep_r,
-                   dq);
-  for (int x = 0; x < w; ++x) {
-    for (int y = 0; y < h; ++y) col[y] = tmp[static_cast<size_t>(y) * w + x];
-    slide_min_line(col.data(), colo.data(), h, k, rep_t, rep_b, dq);
-    for (int y = 0; y < h; ++y) m[static_cast<size_t>(y) * w + x] = colo[y];
+                   scratch);
+  int r = k / 2;
+  int lead = k - 1 - r;  // window rows [y-r, y+lead]
+  for (int y = 0; y < h; ++y) {
+    float* dst = m.data() + static_cast<size_t>(y) * w;
+    bool first = true;
+    for (int j = -r; j <= lead; ++j) {
+      int yy = y + j;
+      if (yy < 0) {
+        if (!rep_t) { std::fill(dst, dst + w, 0.f); first = false; break; }
+        yy = 0;
+      } else if (yy >= h) {
+        if (!rep_b) { std::fill(dst, dst + w, 0.f); first = false; break; }
+        yy = h - 1;
+      }
+      const float* src = tmp.data() + static_cast<size_t>(yy) * w;
+      if (first) {
+        std::memcpy(dst, src, sizeof(float) * w);
+        first = false;
+      } else {
+        for (int x = 0; x < w; ++x) dst[x] = std::min(dst[x], src[x]);
+      }
+    }
   }
 }
 
 // Separable Gaussian blur, sigma derived from kernel size like cv2
 // (sigma = 0.3*((ksize-1)*0.5 - 1) + 0.8).
+//
+// Both passes run tap-outer: acc[x] += src[x+i]·kern[i] sweeps whole
+// contiguous spans per tap, which auto-vectorizes (no per-pixel FP
+// reduction — with -ffp-contract=off the former pixel-inner dot product
+// compiled to a 2·r-deep sequential add chain, ~70 ms/frame at the live
+// path's k≈71). The per-pixel accumulation ORDER is unchanged
+// (ascending tap index), so output is bit-identical to the former
+// lowering; border pixels/rows use the same border_read semantics.
 void gaussian_blur(std::vector<float>& m, std::vector<float>& tmp, int h, int w,
                    int ksize, bool rep_l = false, bool rep_r = false,
                    bool rep_t = false, bool rep_b = false) {
@@ -136,35 +189,46 @@ void gaussian_blur(std::vector<float>& m, std::vector<float>& tmp, int h, int w,
   }
   for (auto& v : kern) v = static_cast<float>(v / s);
 
+  // horizontal: tap-outer over a border-padded copy of each row, full
+  // width — no scalar border columns (at the live path's r≈35 those 2r
+  // columns × 2r+1 taps were most of the pass). Padding replicates the
+  // edge pixel or holds 0, exactly what border_read returned, and taps
+  // accumulate in the same ascending order → bit-identical.
+  std::vector<float> pad(static_cast<size_t>(w) + 2 * r);
   for (int y = 0; y < h; ++y) {
     const float* row = m.data() + static_cast<size_t>(y) * w;
     float* trow = tmp.data() + static_cast<size_t>(y) * w;
-    for (int x = 0; x < w; ++x) {
-      float acc = 0.f;
-      // interior fast path: no border handling inside [r, w-1-r]
-      if (x >= r && x + r < w) {
-        for (int i = -r; i <= r; ++i) acc += row[x + i] * kern[i + r];
-      } else {
-        for (int i = -r; i <= r; ++i)
-          acc += border_read(row, w, x + i, rep_l, rep_r) * kern[i + r];
-      }
-      trow[x] = acc;
+    float lo_v = rep_l ? row[0] : 0.f;
+    float hi_v = rep_r ? row[w - 1] : 0.f;
+    for (int i = 0; i < r; ++i) pad[i] = lo_v;
+    std::memcpy(pad.data() + r, row, sizeof(float) * w);
+    for (int i = 0; i < r; ++i) pad[r + w + i] = hi_v;
+    std::fill(trow, trow + w, 0.f);
+    for (int i = 0; i <= 2 * r; ++i) {
+      const float* src = pad.data() + i;
+      float kv = kern[i];
+      for (int x = 0; x < w; ++x) trow[x] += src[x] * kv;
     }
   }
-  std::vector<float> col(h), colo(h);
-  for (int x = 0; x < w; ++x) {
-    for (int y = 0; y < h; ++y) col[y] = tmp[static_cast<size_t>(y) * w + x];
-    for (int y = 0; y < h; ++y) {
-      float acc = 0.f;
-      if (y >= r && y + r < h) {
-        for (int i = -r; i <= r; ++i) acc += col[y + i] * kern[i + r];
-      } else {
-        for (int i = -r; i <= r; ++i)
-          acc += border_read(col.data(), h, y + i, rep_t, rep_b) * kern[i + r];
+  // vertical: tap-outer over whole rows; an out-of-range tap row reads
+  // as the replicated edge row or as zeros (then contributes +0·kern,
+  // a no-op for the non-negative finite values here — skipped)
+  for (int y = 0; y < h; ++y) {
+    float* dst = m.data() + static_cast<size_t>(y) * w;
+    std::fill(dst, dst + w, 0.f);
+    for (int i = -r; i <= r; ++i) {
+      int yy = y + i;
+      if (yy < 0) {
+        if (!rep_t) continue;
+        yy = 0;
+      } else if (yy >= h) {
+        if (!rep_b) continue;
+        yy = h - 1;
       }
-      colo[y] = acc;
+      const float* src = tmp.data() + static_cast<size_t>(yy) * w;
+      float kv = kern[i + r];
+      for (int x = 0; x < w; ++x) dst[x] += src[x] * kv;
     }
-    for (int y = 0; y < h; ++y) m[static_cast<size_t>(y) * w + x] = colo[y];
   }
 }
 
@@ -223,14 +287,53 @@ void restore_one(uint8_t* frame, const uint8_t* face, const double* align_m,
   std::vector<float> tmp(static_cast<size_t>(bh) * bw);
   std::vector<float> pasted(static_cast<size_t>(bh) * bw * 3);
 
+  // Per row, coverage can only be non-zero where the (monotone-in-gx)
+  // source coords land inside the crop: solve the two double-precision
+  // inequalities for a conservative gx interval (eps absorbs the
+  // float-cast rounding of sx/sy, ±2 px absorbs everything else) and
+  // zero-fill outside it — the bbox's blur padding (~2·w_edge per side)
+  // plus the quad's corner triangles drop out of the per-pixel math.
+  // Pixels inside the interval run the exact original test, so output
+  // is bit-identical.
+  const double eps = 1e-3;
+  auto axis_range = [&](double slope, double off, double lo, double hi,
+                        double& g0, double& g1) -> bool {
+    // conservative gx range with lo-eps <= slope*gx + off <= hi+eps
+    if (std::abs(slope) < 1e-9) {
+      return off >= lo - eps - std::abs(slope) * 16384.0 &&
+             off <= hi + eps + std::abs(slope) * 16384.0;  // whole row or none
+    }
+    double a = (lo - eps - off) / slope, b = (hi + eps - off) / slope;
+    g0 = std::max(g0, std::min(a, b));
+    g1 = std::min(g1, std::max(a, b));
+    return true;
+  };
   double area = 0;
   for (int y = 0; y < bh; ++y) {
     int gy = by0 + y;
-    for (int x = 0; x < bw; ++x) {
+    size_t rowi = static_cast<size_t>(y) * bw;
+    double g0 = bx0, g1 = bx1;
+    bool any = axis_range(ia, ib * gy + itx, -1.0, fw, g0, g1) &&
+               axis_range(ic, id * gy + ity, -1.0, fh, g0, g1) && g0 <= g1;
+    int x_beg = any ? std::max(0, static_cast<int>(std::floor(g0)) - bx0 - 2)
+                    : bw;
+    int x_end = any ? std::min(bw, static_cast<int>(std::ceil(g1)) - bx0 + 3)
+                    : bw;
+    if (x_beg > 0 || !any) {
+      int n0 = any ? x_beg : bw;
+      std::memset(mask.data() + rowi, 0, sizeof(float) * n0);
+      std::memset(pasted.data() + rowi * 3, 0, sizeof(float) * n0 * 3);
+    }
+    if (any && x_end < bw) {
+      std::memset(mask.data() + rowi + x_end, 0, sizeof(float) * (bw - x_end));
+      std::memset(pasted.data() + (rowi + x_end) * 3, 0,
+                  sizeof(float) * (bw - x_end) * 3);
+    }
+    for (int x = x_beg; x < x_end; ++x) {
       int gx = bx0 + x;
       float sx = static_cast<float>(ia * gx + ib * gy + itx);
       float sy = static_cast<float>(ic * gx + id * gy + ity);
-      size_t i = static_cast<size_t>(y) * bw + x;
+      size_t i = rowi + x;
       float cov = mask_coverage(sx, sy, fh, fw);
       mask[i] = cov;
       if (cov == 0.f) {
