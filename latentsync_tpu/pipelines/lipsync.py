@@ -597,7 +597,11 @@ class LipsyncPipeline:
             faces = lrepeat.repeat_to_length(faces, num_chunks)
             boxes = lrepeat.repeat_to_length(boxes, num_chunks)
             matrices = lrepeat.repeat_to_length(matrices, num_chunks)
-            frames = lrepeat.repeat_to_length(frames, num_chunks)
+            # frames stay UN-repeated: materializing the tile copies the
+            # whole ~0.8 GB 1080p frame array for a few wrapped tail
+            # frames (measured seconds of the e2e "audio" stage on the
+            # bench host); finish() wraps indices past len(frames) into
+            # a small tail buffer instead
         timings["audio"] = time.time() - t0
 
         num_windows = num_chunks // num_frames
@@ -703,6 +707,64 @@ class LipsyncPipeline:
         state.timings["denoise_dispatch"] = float(time.time() - t0)
         return latents
 
+    def denoise_decode_chunks(
+        self,
+        state: JobState,
+        num_inference_steps: int = 20,
+        guidance_scale: float = 1.5,
+        window_batch: int = 2,
+    ):
+        """Stages 5+6a interleaved: each window batch's denoise dispatch
+        is IMMEDIATELY followed by that batch's VAE-decode dispatch. The
+        device executes dispatches in order, so the denoise_all →
+        _vae_decode_chunks split put the WHOLE clip's denoise ahead of
+        the first decode — the first fetch waited for all of it and host
+        restore serialized behind the entire device trajectory (measured
+        r4/r5: e2e_overlap ≈ 0 of a possible many seconds; VERDICT r4
+        #1). Interleaved, the first chunk is fetchable after ONE batch's
+        denoise+decode and restore of chunk i overlaps denoise of i+1…
+        Returns [(slice_into_total_frames, device_uint8)] — same
+        contract as _vae_decode_chunks(as_uint8=True); numerically
+        identical latents/decodes, only dispatch ORDER differs.
+        Ref contrast: lipsync_pipeline.py:343-358,570-574 is fully
+        serial per clip."""
+        t0 = time.time()
+        num_windows = state.num_windows
+        num_frames = state.num_frames
+        lat_hw = state.lat_hw
+        do_cfg = guidance_scale > 1.0
+        denoise = self._denoise_fn(num_inference_steps, guidance_scale, do_cfg)
+        dec_fn = self._get_decode_fn(True)
+        wb = min(_bucket(num_windows), window_batch)
+        pieces = []
+        for i in range(0, num_windows, wb):
+            sl = slice(i, min(i + wb, num_windows))
+            n = sl.stop - sl.start
+            pad = wb - n
+
+            def padw(x):
+                if pad == 0:
+                    return x[sl]
+                return jnp.concatenate(
+                    [x[sl], jnp.repeat(x[sl.stop - 1 : sl.stop], pad, axis=0)], axis=0
+                )
+
+            lat = denoise(
+                self.unet_params,
+                padw(state.latents0), padw(state.mask_w), padw(state.masked_lat_w),
+                padw(state.ref_lat_w), padw(state.audio_w),
+            )
+            # decode window padding too (one compiled shape); the
+            # fetcher slices the pad off via the slice length
+            dev = dec_fn(
+                self.vae_params,
+                lat.reshape((wb * num_frames, lat_hw, lat_hw, 4)),
+            )
+            pieces.append(
+                (slice(i * num_frames, (i + n) * num_frames), dev))
+        state.timings["denoise_dispatch"] = float(time.time() - t0)
+        return pieces
+
     @staticmethod
     def _restore_group(frames, combined, mats, crop_hw, processor):
         """Batched resize-to-box + inverse-warp + soft composite for frames
@@ -764,9 +826,14 @@ class LipsyncPipeline:
         return np.stack(out)
 
     def finish(
-        self, state: JobState, latents: jnp.ndarray, video_out_path: str
+        self, state: JobState, latents: Optional[jnp.ndarray],
+        video_out_path: str, pieces=None,
     ) -> PipelineOutput:
-        """Stages 6-8: decode, composite, restore, write."""
+        """Stages 6-8: decode, composite, restore, write.
+
+        `pieces`: pre-dispatched [(slice, device_uint8)] decode chunks
+        from denoise_decode_chunks — when given, `latents` is unused and
+        the decode dispatch here is skipped."""
         timings = state.timings
         num_windows = state.num_windows
         num_frames = state.num_frames
@@ -791,17 +858,41 @@ class LipsyncPipeline:
         # (SURVEY §7 pipelining; ref:lipsync_pipeline.py:343-358,570-574
         # runs these stages serially per clip).
         t0 = time.time()
-        pieces = self._vae_decode_chunks(
-            latents.reshape((total, lat_hw, lat_hw, 4)), as_uint8=True)
+        if pieces is None:
+            pieces = self._vae_decode_chunks(
+                latents.reshape((total, lat_hw, lat_hw, 4)), as_uint8=True)
         m_all = masks[..., :1].astype(np.float32)
         pix_u8 = np.clip((pixel_values + 1.0) * 127.5, 0, 255)
         mats = np.stack([np.asarray(m, np.float64) for m in matrices[:total]])
         # finish owns the JobState: paste back INTO the decoded frame
         # array rather than copying it first (~0.8 GB per 1080p clip —
         # measured as memory-pressure stalls on the bench host)
-        out_frames = np.asarray(frames[:total])
+        n_src = len(frames)
+        out_frames = np.asarray(frames[: min(total, n_src)])
         if not out_frames.flags.writeable:
             out_frames = out_frames.copy()
+        # frames past the source clip (audio padded up to a window
+        # multiple) tile from the start; copy JUST those into a small
+        # tail buffer — prepare() used to materialize the whole repeated
+        # frame array (~0.8 GB copied for 3 wrapped frames, measured
+        # seconds on the bench host)
+        tail = (np.asarray(frames)[np.arange(n_src, total) % n_src].copy()
+                if total > n_src else out_frames[:0])
+
+        def _seg_views(gsl):
+            """Split a global frame slice into (buffer, buffer_slice,
+            chunk-local offset) segments across the main/tail arrays."""
+            segs = []
+            if gsl.start < n_src:
+                hi = min(gsl.stop, n_src)
+                segs.append((out_frames, slice(gsl.start, hi), 0))
+            if gsl.stop > n_src:
+                lo = max(gsl.start, n_src)
+                segs.append(
+                    (tail, slice(lo - n_src, gsl.stop - n_src),
+                     lo - gsl.start))
+            return segs
+
         crop_hws = [
             (int(b[3] - b[1]), int(b[2] - b[0])) for b in boxes[:total]
         ]
@@ -878,17 +969,28 @@ class LipsyncPipeline:
                     # single crop size (the live-path case): restore the
                     # chunk IN PLACE through a slice view — the fancy-
                     # index round trip copied each 1080p chunk twice
-                    view = out_frames[sl]
-                    restored = self._restore_group(
-                        view, combined, mats[sl], crop_hw, processor)
-                    if restored is not view:
-                        out_frames[sl] = restored
+                    for buf, bsl, off in _seg_views(sl):
+                        nseg = bsl.stop - bsl.start
+                        gsl = slice(sl.start + off, sl.start + off + nseg)
+                        view = buf[bsl]
+                        restored = self._restore_group(
+                            view, combined[off:off + nseg], mats[gsl],
+                            crop_hw, processor)
+                        if restored is not view:
+                            buf[bsl] = restored
                     continue
-                restored = self._restore_group(
-                    out_frames[idx_arr], combined[idx_arr - sl.start],
-                    mats[idx_arr], crop_hw, processor,
-                )
-                out_frames[idx_arr] = restored
+                main_sel = idx_arr < n_src
+                for buf, gidx, base in (
+                    (out_frames, idx_arr[main_sel], 0),
+                    (tail, idx_arr[~main_sel], n_src),
+                ):
+                    if not len(gidx):
+                        continue
+                    restored = self._restore_group(
+                        buf[gidx - base], combined[gidx - sl.start],
+                        mats[gidx], crop_hw, processor,
+                    )
+                    buf[gidx - base] = restored
             restore_s += time.time() - tc
         fetch_thread.join()
         timings["vae_decode"] = fetch_busy[0]
@@ -902,7 +1004,11 @@ class LipsyncPipeline:
         os.makedirs(tmp_dir, exist_ok=True)
         wav_path = os.path.join(tmp_dir, "audio.wav")
         write_audio(wav_path, audio_samples[:audio_keep], audio_sample_rate)
-        write_video(video_out_path, out_frames, fps=video_fps, audio_path=wav_path)
+        write_video(
+            video_out_path,
+            [out_frames, tail] if len(tail) else out_frames,
+            fps=video_fps, audio_path=wav_path,
+        )
         timings["write"] = float(time.time() - t0)
         timings["total"] = float(time.time() - t_start)
 
@@ -1003,7 +1109,7 @@ class LipsyncPipeline:
                         video_path, audio_path, num_frames=num_frames,
                         **prepare_kw,
                     )
-                    latents = self.denoise_all(
+                    pieces = self.denoise_decode_chunks(
                         state, num_inference_steps=num_inference_steps,
                         guidance_scale=guidance_scale,
                         window_batch=window_batch,
@@ -1013,7 +1119,7 @@ class LipsyncPipeline:
                     # plain put() would block this thread forever
                     while not cancel.is_set():
                         try:
-                            q.put((idx, state, latents), timeout=0.5)
+                            q.put((idx, state, pieces), timeout=0.5)
                             break
                         except queue.Full:
                             continue
@@ -1036,8 +1142,9 @@ class LipsyncPipeline:
                 item = q.get()
                 if item is None:
                     break
-                idx, state, latents = item
-                outputs[idx] = self.finish(state, latents, jobs[idx][2])
+                idx, state, pieces = item
+                outputs[idx] = self.finish(
+                    state, None, jobs[idx][2], pieces=pieces)
         finally:
             # a finish() failure must not strand the producer mid-batch:
             # signal it to stop preparing/dispatching the remaining
@@ -1074,8 +1181,8 @@ class LipsyncPipeline:
             audio_sample_rate=audio_sample_rate, seed=seed,
             mask_image_path=mask_image_path, data_path=data_path, height=height,
         )
-        latents = self.denoise_all(
+        pieces = self.denoise_decode_chunks(
             state, num_inference_steps=num_inference_steps,
             guidance_scale=guidance_scale, window_batch=window_batch,
         )
-        return self.finish(state, latents, video_out_path)
+        return self.finish(state, None, video_out_path, pieces=pieces)

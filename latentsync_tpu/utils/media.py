@@ -238,10 +238,15 @@ def write_video(
 ) -> str:
     """Encode (F, H, W, 3) uint8 RGB to H.264 mp4, muxing audio in the
     same pass when given (vs the reference's PNG dump + second mux run,
-    ref:util.py:142-208, lipsync_pipeline.py:594-604)."""
+    ref:util.py:142-208, lipsync_pipeline.py:594-604). `frames` may be a
+    list/tuple of (Fi, H, W, 3) chunks encoded back-to-back — the
+    pipeline passes [main, wrapped-tail] to avoid materializing one
+    concatenated ~0.8 GB array."""
     if not path.lower().endswith(".mp4"):
         path = path.rsplit(".", 1)[0] + ".mp4"
-    f, h, w, _ = frames.shape
+    parts = list(frames) if isinstance(frames, (list, tuple)) else [frames]
+    parts = [p for p in parts if len(p)]
+    h, w = parts[0].shape[1:3]
     if HAVE_FFMPEG:
         cmd = [
             "ffmpeg", "-y", "-nostdin", "-v", "error",
@@ -254,7 +259,8 @@ def write_video(
             "-c:v", "libx264", "-crf", str(crf), "-preset", preset,
             "-pix_fmt", "yuv420p", str(path),
         ]
-        _run(cmd, input=np.ascontiguousarray(frames).tobytes())
+        _run(cmd, input=b"".join(
+            np.ascontiguousarray(p).tobytes() for p in parts))
         return path
 
     import cv2
@@ -262,8 +268,9 @@ def write_video(
     writer = cv2.VideoWriter(
         str(path), cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
     )
-    for frame in frames:
-        writer.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+    for part in parts:
+        for frame in part:
+            writer.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
     writer.release()
     if audio_path is not None:
         sidecar = path.rsplit(".", 1)[0] + ".wav"

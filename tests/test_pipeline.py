@@ -306,7 +306,7 @@ def test_run_pipelined_consumer_failure_stops_producer(
                     (rng.standard_normal(6400) * 0.05).astype(np.float32))
         jobs.append((video_path, audio_path, str(tmp_path / f"cfo{i}.mp4")))
 
-    def boom(state, latents, out_path):
+    def boom(state, latents, out_path, pieces=None):
         raise RuntimeError("mux failed")
 
     monkeypatch.setattr(tiny_pipeline, "finish", boom)
@@ -316,3 +316,46 @@ def test_run_pipelined_consumer_failure_stops_producer(
     leaked = [t for t in threading.enumerate()
               if t not in before and t.is_alive()]
     assert not leaked, leaked
+
+
+def test_interleaved_decode_matches_latents_path(tiny_pipeline, tmp_path, rng):
+    """denoise_decode_chunks + finish(pieces=...) is the same computation
+    as denoise_all + finish(latents) with only the device DISPATCH order
+    changed — outputs must match bitwise before encode. Inputs wrap
+    (video shorter than the padded chunk count), so the small-tail
+    restore path (_seg_views) is exercised on both routes."""
+    import cv2
+
+    from latentsync_tpu.utils.media import read_video, write_audio
+
+    video_path = str(tmp_path / "ivin.mp4")
+    frames = (rng.random((10, 64, 64, 3)) * 200 + 30).astype(np.uint8)
+    w = cv2.VideoWriter(video_path, cv2.VideoWriter_fourcc(*"mp4v"), 25,
+                        (64, 64))
+    for fr in frames:
+        w.write(cv2.cvtColor(fr, cv2.COLOR_RGB2BGR))
+    w.release()
+    audio_path = str(tmp_path / "ivin.wav")
+    write_audio(audio_path,
+                (rng.standard_normal(6400) * 0.05).astype(np.float32))
+
+    out_a = str(tmp_path / "iv_a.mp4")
+    state = tiny_pipeline.prepare(video_path, audio_path, num_frames=4)
+    assert state.num_windows * state.num_frames > 10  # tail path active
+    lat = tiny_pipeline.denoise_all(state, num_inference_steps=2,
+                                    window_batch=2)
+    tiny_pipeline.finish(state, lat, out_a)
+
+    out_b = str(tmp_path / "iv_b.mp4")
+    state = tiny_pipeline.prepare(video_path, audio_path, num_frames=4)
+    pieces = tiny_pipeline.denoise_decode_chunks(
+        state, num_inference_steps=2, window_batch=2)
+    assert len(pieces) >= 2  # actually chunked per window batch
+    tiny_pipeline.finish(state, None, out_b, pieces=pieces)
+
+    a = read_video(out_a, change_fps=False)
+    b = read_video(out_b, change_fps=False)
+    assert a.shape == b.shape
+    # identical up to the encoder (mp4v is deterministic on same input,
+    # but stay robust to codec nondeterminism with a tight envelope)
+    assert np.mean(np.abs(a.astype(np.int16) - b.astype(np.int16))) < 0.5
