@@ -47,8 +47,8 @@ from ..utils.media import (
     mux_video_audio,
     read_audio,
     read_video,
+    StreamingVideoWriter,
     write_audio,
-    write_video,
 )
 
 
@@ -896,6 +896,23 @@ class LipsyncPipeline:
         crop_hws = [
             (int(b[3] - b[1]), int(b[2] - b[0])) for b in boxes[:total]
         ]
+        # 8 (streamed). write + mux: the wav is written up front and the
+        # encoder runs on its own thread — each chunk streams into the
+        # container as soon as its restore completes, so only the final
+        # chunk's encode stays on the critical path (the reference
+        # encodes strictly after all frames are restored,
+        # ref:lipsync_pipeline.py:589-604)
+        t0w = time.time()
+        audio_keep = int(total / video_fps * audio_sample_rate)
+        tmp_dir = os.path.join(os.path.dirname(video_out_path) or ".", "temp")
+        os.makedirs(tmp_dir, exist_ok=True)
+        wav_path = os.path.join(tmp_dir, "audio.wav")
+        write_audio(wav_path, audio_samples[:audio_keep], audio_sample_rate)
+        writer = StreamingVideoWriter(
+            video_out_path, fps=video_fps,
+            frame_hw=out_frames.shape[1:3], audio_path=wav_path,
+        )
+        audio_write_s = time.time() - t0w
         # chunk fetches run on a PREFETCH THREAD so the tunnel transfer
         # of chunk i+1 proceeds while the host restores chunk i. The r4
         # version blocked inside np.asarray for the whole device-compute
@@ -946,70 +963,79 @@ class LipsyncPipeline:
         fetch_thread.start()
 
         restore_s = 0.0
-        while True:
-            item = fetch_q.get()
-            if item is None:
-                break
-            if isinstance(item, Exception):
-                raise item
-            sl, dec_u8 = item
-            tc = time.time()
-            m = m_all[sl]
-            combined = (dec_u8 * (1.0 - m) + pix_u8[sl] * m).astype(np.uint8)
-            # each decoded face resizes to ITS OWN box before the inverse
-            # warp; the repo detector emits one constant box per clip, but
-            # precomputed bundles may carry real per-frame boxes — group
-            # by crop size within the chunk
-            groups = {}
-            for idx in range(sl.start, sl.stop):
-                groups.setdefault(crop_hws[idx], []).append(idx)
-            for crop_hw, idxs in groups.items():
-                idx_arr = np.asarray(idxs)
-                if len(groups) == 1 and len(idx_arr) == sl.stop - sl.start:
-                    # single crop size (the live-path case): restore the
-                    # chunk IN PLACE through a slice view — the fancy-
-                    # index round trip copied each 1080p chunk twice
-                    for buf, bsl, off in _seg_views(sl):
-                        nseg = bsl.stop - bsl.start
-                        gsl = slice(sl.start + off, sl.start + off + nseg)
-                        view = buf[bsl]
-                        restored = self._restore_group(
-                            view, combined[off:off + nseg], mats[gsl],
-                            crop_hw, processor)
-                        if restored is not view:
-                            buf[bsl] = restored
-                    continue
-                main_sel = idx_arr < n_src
-                for buf, gidx, base in (
-                    (out_frames, idx_arr[main_sel], 0),
-                    (tail, idx_arr[~main_sel], n_src),
-                ):
-                    if not len(gidx):
+        try:
+            while True:
+                item = fetch_q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                sl, dec_u8 = item
+                tc = time.time()
+                m = m_all[sl]
+                combined = (
+                    dec_u8 * (1.0 - m) + pix_u8[sl] * m).astype(np.uint8)
+                # each decoded face resizes to ITS OWN box before the
+                # inverse warp; the repo detector emits one constant box
+                # per clip, but precomputed bundles may carry real
+                # per-frame boxes — group by crop size within the chunk
+                groups = {}
+                for idx in range(sl.start, sl.stop):
+                    groups.setdefault(crop_hws[idx], []).append(idx)
+                for crop_hw, idxs in groups.items():
+                    idx_arr = np.asarray(idxs)
+                    if len(groups) == 1 and len(idx_arr) == sl.stop - sl.start:
+                        # single crop size (the live-path case): restore
+                        # the chunk IN PLACE through a slice view — the
+                        # fancy-index round trip copied each 1080p chunk
+                        # twice
+                        for buf, bsl, off in _seg_views(sl):
+                            nseg = bsl.stop - bsl.start
+                            gsl = slice(
+                                sl.start + off, sl.start + off + nseg)
+                            view = buf[bsl]
+                            restored = self._restore_group(
+                                view, combined[off:off + nseg], mats[gsl],
+                                crop_hw, processor)
+                            if restored is not view:
+                                buf[bsl] = restored
                         continue
-                    restored = self._restore_group(
-                        buf[gidx - base], combined[gidx - sl.start],
-                        mats[gidx], crop_hw, processor,
-                    )
-                    buf[gidx - base] = restored
-            restore_s += time.time() - tc
+                    main_sel = idx_arr < n_src
+                    for buf, gidx, base in (
+                        (out_frames, idx_arr[main_sel], 0),
+                        (tail, idx_arr[~main_sel], n_src),
+                    ):
+                        if not len(gidx):
+                            continue
+                        restored = self._restore_group(
+                            buf[gidx - base], combined[gidx - sl.start],
+                            mats[gidx], crop_hw, processor,
+                        )
+                        buf[gidx - base] = restored
+                restore_s += time.time() - tc
+                # chunk sl's frames are final: hand them (in global frame
+                # order — main buffer segment, then wrapped tail) to the
+                # encoder thread; views are safe because each row is
+                # restored exactly once
+                for buf, bsl, _off in _seg_views(sl):
+                    writer.append(buf[bsl])
+        except BaseException:
+            # end the encoder thread before propagating so a failed run
+            # doesn't leak an open ffmpeg/cv2 container
+            try:
+                writer._q.put(None)
+            except Exception:  # noqa: BLE001
+                pass
+            raise
         fetch_thread.join()
         timings["vae_decode"] = fetch_busy[0]
         timings["restore"] = restore_s
         timings["decode_restore_total"] = float(time.time() - t0)
 
-        # 8. write + mux (ref:lipsync_pipeline.py:589-604)
         t0 = time.time()
-        audio_keep = int(total / video_fps * audio_sample_rate)
-        tmp_dir = os.path.join(os.path.dirname(video_out_path) or ".", "temp")
-        os.makedirs(tmp_dir, exist_ok=True)
-        wav_path = os.path.join(tmp_dir, "audio.wav")
-        write_audio(wav_path, audio_samples[:audio_keep], audio_sample_rate)
-        write_video(
-            video_out_path,
-            [out_frames, tail] if len(tail) else out_frames,
-            fps=video_fps, audio_path=wav_path,
-        )
-        timings["write"] = float(time.time() - t0)
+        video_out_path = writer.close()
+        timings["write"] = float(writer.busy_s + audio_write_s)
+        timings["write_wait"] = float(time.time() - t0)
         timings["total"] = float(time.time() - t_start)
 
         return PipelineOutput(

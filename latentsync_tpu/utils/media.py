@@ -282,6 +282,137 @@ def write_video(
     return path
 
 
+class StreamingVideoWriter:
+    """Encode frames on a background thread while the producer keeps
+    working — the lipsync pipeline appends each chunk as its restore
+    completes, so only the final chunk's encode stays on the critical
+    path (the reference encodes strictly after every frame is restored,
+    ref:lipsync_pipeline.py:589-604).
+
+    ffmpeg path: frames stream into ffmpeg's stdin with audio muxed in
+    the same pass (`audio_path` must exist before the first append).
+    cv2 fallback: mp4v writer fed per-frame, audio copied to a sidecar
+    wav like `write_video`. Appended chunks must not be mutated
+    afterwards (the writer thread reads them without copying).
+
+    `busy_s` accumulates encode-thread busy time so the pipeline's
+    stage table stays per-thread-busy (overlap is provable as
+    Σ(stages) − wall)."""
+
+    def __init__(
+        self,
+        path: str,
+        fps: int,
+        frame_hw: Tuple[int, int],
+        crf: int = 10,
+        preset: str = "medium",
+        audio_path: Optional[str] = None,
+    ):
+        import queue
+        import threading
+
+        if not path.lower().endswith(".mp4"):
+            path = path.rsplit(".", 1)[0] + ".mp4"
+        self.path = path
+        self._audio_path = audio_path
+        self.busy_s = 0.0
+        self._err: Optional[BaseException] = None
+        self._q: "queue.Queue" = queue.Queue(maxsize=4)
+        h, w = frame_hw
+        self._proc = None
+        self._cv2_writer = None
+        if HAVE_FFMPEG:
+            import subprocess
+
+            cmd = [
+                "ffmpeg", "-y", "-nostdin", "-v", "error",
+                "-f", "rawvideo", "-pix_fmt", "rgb24", "-s", f"{w}x{h}",
+                "-r", str(fps), "-i", "-",
+            ]
+            if audio_path is not None:
+                cmd += ["-i", str(audio_path), "-c:a", "aac", "-shortest"]
+            cmd += [
+                "-c:v", "libx264", "-crf", str(crf), "-preset", preset,
+                "-pix_fmt", "yuv420p", str(path),
+            ]
+            self._proc = subprocess.Popen(
+                cmd, stdin=subprocess.PIPE,
+                stdout=subprocess.DEVNULL, stderr=subprocess.PIPE,
+            )
+        else:
+            import cv2
+
+            self._cv2_writer = cv2.VideoWriter(
+                str(path), cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
+            )
+        self._thread = threading.Thread(target=self._drain, daemon=True)
+        self._thread.start()
+
+    def _drain(self) -> None:
+        import time
+
+        cv2 = None
+        if self._cv2_writer is not None:
+            import cv2  # noqa: F811
+        try:
+            while True:
+                chunk = self._q.get()
+                if chunk is None:
+                    return
+                t0 = time.time()
+                if self._proc is not None:
+                    self._proc.stdin.write(
+                        np.ascontiguousarray(chunk).tobytes()
+                    )
+                else:
+                    for frame in chunk:
+                        self._cv2_writer.write(
+                            cv2.cvtColor(frame, cv2.COLOR_RGB2BGR)
+                        )
+                self.busy_s += time.time() - t0
+        except BaseException as e:  # noqa: BLE001 — re-raised on close
+            self._err = e
+            # keep draining (discarding) so a producer blocked in put()
+            # unblocks; close()'s None sentinel ends the thread
+            while True:
+                if self._q.get() is None:
+                    return
+
+    def append(self, frames: np.ndarray) -> None:
+        """Queue a (Fi, H, W, 3) uint8 RGB chunk for encoding."""
+        if self._err is not None:
+            raise self._err
+        if len(frames):
+            self._q.put(frames)
+
+    def close(self) -> str:
+        """Flush, finalize the container, and return the output path."""
+        self._q.put(None)
+        self._thread.join()
+        if self._proc is not None:
+            self._proc.stdin.close()
+            stderr = self._proc.stderr.read()
+            if self._proc.wait() != 0:
+                raise RuntimeError(
+                    f"ffmpeg stream encode failed: {stderr.decode()[:500]}"
+                )
+        if self._cv2_writer is not None:
+            self._cv2_writer.release()
+            if self._audio_path is not None:
+                sidecar = self.path.rsplit(".", 1)[0] + ".wav"
+                if os.path.abspath(str(self._audio_path)) != os.path.abspath(
+                    sidecar
+                ):
+                    shutil.copy(str(self._audio_path), sidecar)
+                warnings.warn(
+                    "no ffmpeg binary: wrote audio as sidecar "
+                    f"{sidecar} instead of muxing"
+                )
+        if self._err is not None:
+            raise self._err
+        return self.path
+
+
 def mux_video_audio(
     video_path: str, audio_path: str, out_path: str, trim_duration: Optional[float] = None
 ) -> None:

@@ -223,3 +223,34 @@ def test_repeat_tail_helpers(tmp_path, rng):
                      __import__("latentsync_tpu.utils.media", fromlist=["HAVE_FFMPEG"]).HAVE_FFMPEG
                      else out, 16000)
     assert abs(len(wav) - int(16 / 25 * 16000)) <= 640  # within 40ms
+
+
+def test_streaming_video_writer_matches_bulk(tmp_path, rng):
+    """StreamingVideoWriter (chunk-by-chunk, encoder on its own thread)
+    must produce the same video as the one-shot write_video path the
+    pipeline used before — decoded frames compare exactly since both
+    feed identical RGB frames through identical codec settings."""
+    from latentsync_tpu.utils.media import (
+        StreamingVideoWriter,
+        read_video,
+        write_audio,
+        write_video,
+    )
+
+    frames = (rng.random((23, 32, 32, 3)) * 255).astype(np.uint8)
+    wav = tmp_path / "a.wav"
+    write_audio(str(wav), np.ones(16000, np.float32) * 0.1)
+
+    bulk = write_video(str(tmp_path / "bulk.mp4"), frames, fps=25,
+                       audio_path=str(wav))
+
+    writer = StreamingVideoWriter(str(tmp_path / "stream.mp4"), fps=25,
+                                  frame_hw=(32, 32), audio_path=str(wav))
+    for lo in range(0, len(frames), 7):  # uneven chunks incl. a short tail
+        writer.append(frames[lo:lo + 7])
+    streamed = writer.close()
+    assert writer.busy_s > 0
+
+    a = read_video(bulk, change_fps=False)
+    b = read_video(streamed, change_fps=False)
+    np.testing.assert_array_equal(a, b)
